@@ -1,0 +1,148 @@
+"""Renderer orchestration tests: progressive accumulation state machine,
+parameter-change semantics, readback (reference mod.rs:303-394, 615-679)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from weekend_raytracer_tpu import (
+    RenderParams,
+    Renderer,
+    RenderProgress,
+    SamplingParams,
+)
+from weekend_raytracer_tpu.models import scenes
+from weekend_raytracer_tpu.models.sky import SkyParams
+
+
+def _renderer(max_spp=8, spp=2, bounces=4, size=(32, 18)):
+    params = RenderParams(
+        camera=scenes.three_spheres_camera(),
+        viewport_size=size,
+        sampling=SamplingParams(
+            max_samples_per_pixel=max_spp,
+            num_samples_per_pixel=spp,
+            num_bounces=bounces,
+        ),
+    )
+    return Renderer(scenes.three_spheres(), params)
+
+
+# --- RenderProgress state machine (mod.rs:626-670 three branches) ---
+
+def test_progress_first_frame_clears():
+    p = RenderProgress()
+    s = SamplingParams(max_samples_per_pixel=8, num_samples_per_pixel=2)
+    g = p.next_frame(s)
+    assert g.clear_accumulated_samples
+    assert g.num_samples_per_pixel == 2
+    assert g.accumulated_samples_per_pixel == 2
+
+
+def test_progress_accumulating():
+    p = RenderProgress()
+    s = SamplingParams(max_samples_per_pixel=8, num_samples_per_pixel=2)
+    p.next_frame(s)
+    g = p.next_frame(s)
+    assert not g.clear_accumulated_samples
+    assert g.num_samples_per_pixel == 2
+    assert g.accumulated_samples_per_pixel == 4
+
+
+def test_progress_done_stops_sampling():
+    p = RenderProgress()
+    s = SamplingParams(max_samples_per_pixel=4, num_samples_per_pixel=2)
+    p.next_frame(s)
+    p.next_frame(s)
+    g = p.next_frame(s)
+    assert g.num_samples_per_pixel == 0
+    assert g.accumulated_samples_per_pixel == 4
+    assert p.accumulated_samples() == 4
+
+
+def test_progress_reset():
+    p = RenderProgress()
+    s = SamplingParams()
+    p.next_frame(s)
+    p.reset()
+    assert p.accumulated_samples() == 0
+    assert p.next_frame(s).clear_accumulated_samples
+
+
+# --- Renderer ---
+
+def test_render_to_convergence():
+    r = _renderer(max_spp=8, spp=2)
+    stats = r.render()
+    assert stats.frames == 4
+    assert stats.samples_per_pixel == 8
+    assert r.progress() == pytest.approx(1.0)
+    assert not r.render_frame()  # converged: no more work
+
+
+def test_image_shape_and_dtype():
+    r = _renderer(size=(40, 24))
+    r.render()
+    img = r.image()
+    assert img.shape == (24, 40, 3)
+    assert img.dtype == np.uint8
+
+
+def test_param_change_resets_accumulation():
+    r = _renderer()
+    r.render()
+    assert r.progress() == 1.0
+    new_params = dataclasses.replace(r.params, sky=SkyParams(turbidity=7.0))
+    assert r.set_render_params(new_params)
+    assert r.progress() == 0.0
+    assert r.render_frame()  # renders again after reset
+
+
+def test_param_no_change_is_noop():
+    r = _renderer()
+    r.render()
+    assert not r.set_render_params(r.params)
+    assert r.progress() == 1.0  # untouched
+
+
+def test_param_invalid_rejected():
+    from weekend_raytracer_tpu import RenderParamsValidationError
+
+    r = _renderer()
+    bad = dataclasses.replace(
+        r.params, sampling=SamplingParams(max_samples_per_pixel=7,
+                                          num_samples_per_pixel=2),
+    )
+    with pytest.raises(RenderParamsValidationError):
+        r.set_render_params(bad)
+
+
+def test_viewport_resize_reallocates():
+    r = _renderer(size=(32, 18))
+    r.render()
+    new_params = dataclasses.replace(r.params, viewport_size=(16, 10))
+    r.set_render_params(new_params)
+    r.render_frame()
+    assert r.image().shape == (10, 16, 3)
+
+
+def test_progressive_equals_oneshot():
+    """4 frames x 2 spp must equal 1 frame x 8 spp statistically — and the
+    mean over the same total sample count should agree closely (different
+    RNG streams, same estimator)."""
+    a = _renderer(max_spp=64, spp=2)
+    a.render()
+    b = _renderer(max_spp=64, spp=8)
+    b.render()
+    ia = a.image().astype(np.float32) / 255.0
+    ib = b.image().astype(np.float32) / 255.0
+    rmse = np.sqrt(np.mean((ia - ib) ** 2))
+    assert rmse < 0.05  # Monte-Carlo agreement on display output, not bitwise
+
+
+def test_render_deterministic():
+    a = _renderer()
+    a.render()
+    b = _renderer()
+    b.render()
+    np.testing.assert_array_equal(np.asarray(a._accum), np.asarray(b._accum))
