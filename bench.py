@@ -1,0 +1,88 @@
+"""Headline benchmark: rays/sec/chip on the RTiOW final scene at 1080p.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline (BASELINE.md): 1e9 rays/sec/chip on TPU v5e, 1080p, 100 spp,
+RTiOW final scene (~480 spheres, defocus camera).
+
+A ray here is one path segment traced (pixels x spp x bounces): the
+wavefront tracer performs the full bounce budget of scene-intersection +
+scatter work per sample (dead lanes are masked, matching how the reference
+counts its implied ray budget, SURVEY.md §6).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "")  # use the real chip if present
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from weekend_raytracer_tpu import RenderParams, Renderer, SamplingParams
+    from weekend_raytracer_tpu.models import scenes
+
+    width, height = 1920, 1080
+    spp_total = 100
+    spp_frame = 4
+    bounces = 8
+
+    backend = os.environ.get("WRT_BENCH_BACKEND", "auto")
+    if backend == "auto":
+        try:
+            from weekend_raytracer_tpu.ops.pallas.megakernel import (  # noqa: F401
+                render_image_pallas,
+            )
+
+            backend = "pallas"
+        except Exception:
+            backend = "xla"
+
+    params = RenderParams(
+        camera=scenes.rtiow_final_camera(),
+        viewport_size=(width, height),
+        sampling=SamplingParams(
+            max_samples_per_pixel=spp_total,
+            num_samples_per_pixel=spp_frame,
+            num_bounces=bounces,
+        ),
+    )
+    desc = scenes.rtiow_final()
+    renderer = Renderer(desc, params, backend=backend)
+
+    # Warmup: compile + one frame.
+    renderer.render_frame()
+    renderer.sync()
+
+    t0 = time.perf_counter()
+    frames = 0
+    while renderer.render_frame():
+        frames += 1
+    renderer.sync()
+    dt = time.perf_counter() - t0
+
+    spp_timed = frames * spp_frame
+    rays = width * height * spp_timed * bounces
+    rays_per_sec = rays / dt
+    seconds_per_frame_100spp = dt * (spp_total / spp_timed)
+
+    result = {
+        "metric": "rays/sec/chip (RTiOW final scene, 1080p, 8 bounces)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / 1.0e9, 4),
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "seconds_per_100spp_frame": round(seconds_per_frame_100spp, 3),
+        "spheres": desc.num_spheres,
+        "spp_timed": spp_timed,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

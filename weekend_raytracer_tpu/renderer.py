@@ -188,6 +188,13 @@ class Renderer:
         self._frame_number += 1
         return True
 
+    def sync(self) -> None:
+        """Drain queued device work. A tiny readback is used in addition to
+        block_until_ready because some PJRT transports (the axon tunnel)
+        only guarantee completion on transfer."""
+        self._accum.block_until_ready()
+        np.asarray(self._accum[:1])
+
     def render(self, block: bool = True) -> "RenderStats":
         """Render until converged (max spp reached); returns timing stats."""
         t0 = time.perf_counter()
@@ -195,7 +202,7 @@ class Renderer:
         while self.render_frame():
             frames += 1
         if block:
-            self._accum.block_until_ready()
+            self.sync()
         dt = time.perf_counter() - t0
         w, h = self._params.viewport_size
         s = self._params.sampling
