@@ -1,0 +1,79 @@
+"""Fly-camera controller tests (reference fly_camera.rs semantics)."""
+import math
+
+import numpy as np
+import pytest
+
+from weekend_raytracer_tpu.interactive.fly_camera import (
+    FlyCameraController,
+    camera_orientation,
+)
+from weekend_raytracer_tpu.models.angle import Angle
+
+
+def test_default_matches_reference():
+    """fly_camera.rs:24-50 defaults."""
+    c = FlyCameraController()
+    np.testing.assert_allclose(c.position, [-10.0, 2.0, -4.0])
+    assert c.yaw.as_degrees() == pytest.approx(25.0)
+    assert c.pitch.as_degrees() == pytest.approx(-10.0)
+    assert c.vfov_degrees == 30.0
+    assert c.aperture == 0.8
+    assert c.focus_distance == pytest.approx(
+        float(np.linalg.norm([10.0, -1.0, 4.0]))
+    )
+
+
+def test_orientation_frame():
+    o = camera_orientation(Angle.degrees(0.0), Angle.degrees(0.0))
+    np.testing.assert_allclose(o.forward, [1, 0, 0], atol=1e-7)
+    # right = forward x world_up (fly_camera.rs:236): x-hat x y-hat = z-hat
+    np.testing.assert_allclose(o.right, [0, 0, 1], atol=1e-7)
+    np.testing.assert_allclose(o.up, [0, 1, 0], atol=1e-7)
+
+
+def test_translation_along_frame():
+    c = FlyCameraController()
+    c.position = np.zeros(3)
+    c.yaw, c.pitch = Angle.degrees(0.0), Angle.degrees(0.0)
+    c.set_key("w", True)
+    c.after_events((100, 100), 2.0)
+    np.testing.assert_allclose(c.position, [2.0, 0.0, 0.0], atol=1e-6)
+    c.set_key("w", False)
+    c.set_key("q", True)  # up
+    c.after_events((100, 100), 1.0)
+    np.testing.assert_allclose(c.position, [2.0, 1.0, 0.0], atol=1e-6)
+
+
+def test_mouse_look_changes_yaw_only_for_horizontal_drag():
+    c = FlyCameraController()
+    c.yaw, c.pitch = Angle.degrees(0.0), Angle.degrees(0.0)
+    c.set_mouse((50.0, 50.0), look_pressed=True)
+    c.after_events((100, 100), 0.0)  # primes previous_mouse_pos
+    c.set_mouse((60.0, 50.0), look_pressed=True)
+    c.after_events((100, 100), 0.0)
+    assert abs(c.yaw.as_degrees()) > 0.5
+    assert abs(c.pitch.as_degrees()) < 0.2
+
+
+def test_pitch_clamped_at_89():
+    c = FlyCameraController()
+    c.yaw, c.pitch = Angle.degrees(0.0), Angle.degrees(0.0)
+    c.set_mouse((50.0, 50.0), look_pressed=True)
+    c.after_events((100, 100), 0.0)
+    for i in range(30):
+        c.set_mouse((50.0, 50.0 - 3.0 * (i + 1)), look_pressed=True)
+        c.after_events((100, 100), 0.0)
+    assert c.pitch.as_degrees() <= 89.0 + 1e-6
+
+
+def test_renderer_camera_roundtrip():
+    c = FlyCameraController()
+    cam = c.renderer_camera()
+    o = camera_orientation(c.yaw, c.pitch)
+    np.testing.assert_allclose(cam.eye_dir, o.forward, atol=1e-7)
+    assert cam.aperture == c.aperture
+    # produces a valid validated param set
+    from weekend_raytracer_tpu import RenderParams
+
+    RenderParams(camera=cam, viewport_size=(64, 48)).validate()

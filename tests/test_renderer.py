@@ -146,3 +146,31 @@ def test_render_deterministic():
     b = _renderer()
     b.render()
     np.testing.assert_array_equal(np.asarray(a._accum), np.asarray(b._accum))
+
+
+def test_checkpoint_resume(tmp_path):
+    """Save mid-render, resume in a fresh renderer, converge identically."""
+    a = _renderer(max_spp=8, spp=2)
+    a.render_frame()
+    a.render_frame()
+    path = str(tmp_path / "ckpt.npz")
+    a.save_checkpoint(path)
+    while a.render_frame():
+        pass
+
+    b = _renderer(max_spp=8, spp=2)
+    b.load_checkpoint(path)
+    assert b.accumulated_samples() == 4
+    while b.render_frame():
+        pass
+    np.testing.assert_array_equal(np.asarray(a._accum), np.asarray(b._accum))
+
+
+def test_checkpoint_viewport_mismatch(tmp_path):
+    a = _renderer(size=(32, 18))
+    a.render_frame()
+    path = str(tmp_path / "ckpt.npz")
+    a.save_checkpoint(path)
+    b = _renderer(size=(16, 10))
+    with pytest.raises(ValueError):
+        b.load_checkpoint(path)

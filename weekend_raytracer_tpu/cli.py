@@ -1,0 +1,98 @@
+"""Headless renderer CLI.
+
+The reference has no CLI (all configuration is hardcoded or interactive,
+SURVEY.md §5); this is the rebuild's declarative front door:
+
+    python -m weekend_raytracer_tpu.cli --scene rtiow --size 1920x1080 \
+        --spp 100 --bounces 8 -o out.png
+
+Scenes: demo | single | three | rtiow | textured | random10k.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_size(s: str):
+    w, h = s.lower().split("x")
+    return int(w), int(h)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", default="demo", help="scene name or 'list'")
+    p.add_argument("--size", type=parse_size, default=(800, 600),
+                   help="WIDTHxHEIGHT (default 800x600, the reference window)")
+    p.add_argument("--spp", type=int, default=128, help="total samples/pixel")
+    p.add_argument("--spp-per-frame", type=int, default=None,
+                   help="samples per progressive frame (default: min(4, spp))")
+    p.add_argument("--bounces", type=int, default=8)
+    p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--assets", default=None, help="dir with earthmap/moon images")
+    p.add_argument("--seed-frame", type=int, default=0)
+    p.add_argument("-o", "--output", default="render.png")
+    p.add_argument("--stats-json", action="store_true",
+                   help="print render stats as one JSON line")
+    args = p.parse_args(argv)
+
+    from .models import scenes as scene_lib
+
+    if args.scene == "list":
+        print("\n".join(scene_lib.SCENES))
+        return 0
+    if args.scene not in scene_lib.SCENES:
+        print(f"unknown scene {args.scene!r}; use --scene list", file=sys.stderr)
+        return 2
+
+    from . import RenderParams, Renderer, SamplingParams
+    from .utils.image import save_png
+
+    build, cam_fn = scene_lib.SCENES[args.scene]
+    try:
+        desc = build(assets_dir=args.assets)
+    except TypeError:
+        desc = build()
+    scene = desc.build()
+
+    spp_frame = args.spp_per_frame or min(4, args.spp)
+    params = RenderParams(
+        camera=cam_fn(),
+        viewport_size=args.size,
+        sampling=SamplingParams(
+            max_samples_per_pixel=args.spp,
+            num_samples_per_pixel=spp_frame,
+            num_bounces=args.bounces,
+        ),
+    )
+
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if scene.materials.all_solid else "xla"
+    renderer = Renderer(scene, params, backend=backend)
+    stats = renderer.render()
+    save_png(args.output, renderer.image())
+
+    line = {
+        "scene": args.scene,
+        "backend": backend,
+        "size": list(args.size),
+        "spp": stats.samples_per_pixel,
+        "seconds": round(stats.seconds, 3),
+        "rays_per_sec": round(stats.rays_per_sec, 1),
+        "output": args.output,
+    }
+    if args.stats_json:
+        print(json.dumps(line))
+    else:
+        print(
+            f"{args.scene} [{backend}] {args.size[0]}x{args.size[1]} "
+            f"{stats.samples_per_pixel}spp in {stats.seconds:.2f}s "
+            f"({stats.rays_per_sec / 1e6:.1f}M rays/s) -> {args.output}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

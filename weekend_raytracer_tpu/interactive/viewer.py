@@ -1,0 +1,206 @@
+"""Interactive terminal viewer: progressive render + fly camera + live params.
+
+Capability parity with the reference's interactive shell (src/main.rs event
+loop + imgui Parameters window, main.rs:216-342): WASD/QE flight, live
+parameter editing with validation + accumulation reset, FPS and progress
+display. The display surface is the terminal itself (24-bit ANSI half-block
+cells) so the whole loop runs headless over SSH next to the TPU — frames
+stream from HBM to the terminal, the accumulator never leaves the device
+except for display (SURVEY.md §3.3).
+
+Keys:
+  w/a/s/d/q/e  move    i/j/k/l  look (yaw/pitch)
+  f/F aperture -+      g/G focus distance -+      v/V vfov -+
+  t/T turbidity -+     z/Z sun zenith -+          x/X sun azimuth -+
+  1/2/4 spp per frame  b/B bounces -+             r reset accumulation
+  ESC or Ctrl-C quit
+
+Run: python -m weekend_raytracer_tpu.interactive.viewer --scene demo
+"""
+from __future__ import annotations
+
+import dataclasses
+import select
+import sys
+import time
+
+import numpy as np
+
+from ..models.params import RenderParams, RenderParamsValidationError, SamplingParams
+from ..models.sky import SkyParams
+from ..renderer import Renderer
+from ..utils.metrics import FpsCounter
+from .fly_camera import FlyCameraController
+
+
+def _halfblock_frame(img: np.ndarray) -> str:
+    """Render [H, W, 3] uint8 as ANSI half-block rows (two pixels/cell)."""
+    h = img.shape[0] - (img.shape[0] % 2)
+    top = img[0:h:2]
+    bot = img[1:h:2]
+    rows = []
+    for tr, br in zip(top, bot):
+        cells = [
+            f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+            for t, b in zip(tr, br)
+        ]
+        rows.append("".join(cells) + "\x1b[0m")
+    return "\n".join(rows)
+
+
+class TerminalViewer:
+    def __init__(self, scene_desc, camera_controller: FlyCameraController,
+                 viewport=(160, 90), sampling: SamplingParams | None = None,
+                 backend: str = "xla"):
+        self.controller = camera_controller
+        self.viewport = viewport
+        self.sampling = sampling or SamplingParams()
+        self.params = RenderParams(
+            camera=self.controller.renderer_camera(),
+            viewport_size=viewport,
+            sampling=self.sampling,
+        )
+        self.renderer = Renderer(scene_desc, self.params, backend=backend)
+        self.sky = SkyParams()
+        self.fps = FpsCounter()
+        self.status = ""
+
+    # -- parameter editing (main.rs:216-342 widget semantics) ---------------
+
+    def _apply(self, **updates) -> None:
+        sky = updates.pop("sky", self.params.sky)
+        sampling = updates.pop("sampling", self.params.sampling)
+        new = dataclasses.replace(
+            self.params,
+            camera=self.controller.renderer_camera(),
+            sky=sky,
+            sampling=sampling,
+        )
+        try:
+            if self.renderer.set_render_params(new):
+                self.params = new
+        except RenderParamsValidationError as e:
+            self.status = f"rejected: {e}"  # mirror eprintln! main.rs:196
+
+    def handle_key(self, key: str) -> bool:
+        """Returns False to quit."""
+        c = self.controller
+        step = 0.5
+        if key in "\x1b\x03":
+            return False
+        if key in "wasdqe":
+            c.set_key(key, True)
+            c.after_events(self.viewport, step)
+            c.set_key(key, False)
+        elif key in "ijkl":
+            from ..models.angle import Angle
+
+            d = 3.0
+            if key == "j":
+                c.yaw = c.yaw + Angle.degrees(-d)
+            elif key == "l":
+                c.yaw = c.yaw + Angle.degrees(d)
+            elif key == "i":
+                c.pitch = (c.pitch + Angle.degrees(d)).clamp(
+                    Angle.degrees(-89), Angle.degrees(89))
+            elif key == "k":
+                c.pitch = (c.pitch + Angle.degrees(-d)).clamp(
+                    Angle.degrees(-89), Angle.degrees(89))
+        elif key in "fF":
+            c.aperture = min(1.0, max(0.0, c.aperture + (0.05 if key == "F" else -0.05)))
+        elif key in "gG":
+            c.focus_distance = max(0.1, c.focus_distance + (0.5 if key == "G" else -0.5))
+        elif key in "vV":
+            c.vfov_degrees = min(90.0, max(10.0, c.vfov_degrees + (2.0 if key == "V" else -2.0)))
+        elif key in "tT":
+            self.sky = dataclasses.replace(
+                self.sky, turbidity=min(10.0, max(1.0, self.sky.turbidity + (0.5 if key == "T" else -0.5))))
+        elif key in "zZ":
+            self.sky = dataclasses.replace(
+                self.sky, zenith_degrees=min(90.0, max(0.0, self.sky.zenith_degrees + (5.0 if key == "Z" else -5.0))))
+        elif key in "xX":
+            self.sky = dataclasses.replace(
+                self.sky, azimuth_degrees=(self.sky.azimuth_degrees + (10.0 if key == "X" else -10.0)) % 360.0)
+        elif key in "124":
+            self.sampling = dataclasses.replace(
+                self.sampling, num_samples_per_pixel=int(key))
+        elif key in "bB":
+            self.sampling = dataclasses.replace(
+                self.sampling, num_bounces=min(10, max(4, self.sampling.num_bounces + (1 if key == "B" else -1))))
+        elif key == "r":
+            self.renderer._progress.reset()
+        self._apply(sky=self.sky, sampling=self.sampling)
+        return True
+
+    # -- main loop ------------------------------------------------------------
+
+    def run(self) -> None:  # pragma: no cover - interactive
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+        sys.stdout.write("\x1b[2J")  # clear
+        try:
+            running = True
+            while running:
+                t0 = time.perf_counter()
+                self.renderer.render_frame()
+                img = self.renderer.image()
+                self.fps.update(time.perf_counter() - t0)
+                self.draw(img)
+                while select.select([sys.stdin], [], [], 0)[0]:
+                    if not self.handle_key(sys.stdin.read(1)):
+                        running = False
+                        break
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+            sys.stdout.write("\x1b[0m\n")
+
+    def draw(self, img: np.ndarray) -> None:  # pragma: no cover - interactive
+        from ..utils import native
+
+        frame = (
+            native.halfblock_render(img)
+            if native.available()
+            else _halfblock_frame(img)
+        )
+        hud = (
+            f" {self.fps.average_fps():5.1f} fps | "
+            f"progress {100.0 * self.renderer.progress():5.1f}% "
+            f"({self.renderer.accumulated_samples()}"
+            f"/{self.params.sampling.max_samples_per_pixel} spp) | "
+            f"ap {self.controller.aperture:.2f} focus "
+            f"{self.controller.focus_distance:.1f} vfov "
+            f"{self.controller.vfov_degrees:.0f} | {self.status}"
+        )
+        sys.stdout.write("\x1b[H" + frame + "\x1b[K" + hud)
+        sys.stdout.flush()
+
+
+def main(argv=None) -> int:  # pragma: no cover - interactive
+    import argparse
+
+    from ..models import scenes as scene_lib
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="demo")
+    p.add_argument("--size", default="160x90")
+    p.add_argument("--backend", default="auto")
+    args = p.parse_args(argv)
+    w, h = (int(v) for v in args.size.split("x"))
+    build, _cam = scene_lib.SCENES[args.scene]
+    desc = build()
+    scene = desc.build()
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if scene.materials.all_solid else "xla"
+    viewer = TerminalViewer(scene, FlyCameraController(), viewport=(w, h),
+                            backend=backend)
+    viewer.run()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

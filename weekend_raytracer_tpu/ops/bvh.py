@@ -1,0 +1,112 @@
+"""TPU-native spatial acceleration: morton-ordered sphere chunks.
+
+The reference brute-forces every sphere per ray (raytracer.wgsl:137-145).
+To scale to the BASELINE.md 10k-sphere configs, the rebuild uses the
+TPU-idiomatic analogue of an LBVH: spheres are sorted along a Morton curve
+and grouped into fixed-size chunks; each chunk (and, for large scenes, each
+super-chunk of chunks) carries a conservative bounding sphere. Kernels test
+a whole ray *tile* against a chunk bound with a handful of VPU ops and skip
+the chunk's spheres entirely when no lane can hit — data-independent
+control flow at tile granularity instead of per-ray stack traversal, which
+is the access pattern TPUs can actually execute well (SURVEY.md §7 hard
+part (f)).
+
+Everything here is pure jnp (runs under jit, on device): a pointer-free,
+sort-based "LBVH build" in the spirit of Karras 2012 but flattened to two
+levels because tile-granularity culling makes deep trees unprofitable on
+SIMD tiles.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+
+def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread 10 bits out to every 3rd bit (standard Morton interleave)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_codes(
+    cx: jnp.ndarray, cy: jnp.ndarray, cz: jnp.ndarray,
+    lo: jnp.ndarray, hi: jnp.ndarray,
+) -> jnp.ndarray:
+    """30-bit Morton codes for points quantized into [lo, hi]^3."""
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = lambda v, i: jnp.clip(
+        ((v - lo[i]) / span[i] * 1024.0), 0.0, 1023.0
+    ).astype(jnp.uint32)
+    return (
+        _part1by2(q(cx, 0))
+        | (_part1by2(q(cy, 1)) << 1)
+        | (_part1by2(q(cz, 2)) << 2)
+    )
+
+
+class ChunkedScene(NamedTuple):
+    """Morton-sorted per-sphere attributes + per-chunk bounding spheres.
+
+    attrs: tuple of 12 (S_pad,) f32 arrays (cx, cy, cz, rad, mid, mx,
+           a1r, a1g, a1b, a2r, a2g, a2b), sorted and padded by duplicating
+           the last sphere (duplicates are harmless for closest-hit).
+    chunk_*: (NC,) f32 bounding-sphere data; chunk_r2 is the squared radius.
+    """
+
+    attrs: Tuple[jnp.ndarray, ...]
+    chunk_cx: jnp.ndarray
+    chunk_cy: jnp.ndarray
+    chunk_cz: jnp.ndarray
+    chunk_r2: jnp.ndarray
+
+
+def build_chunks(attrs: Tuple[jnp.ndarray, ...], chunk_size: int) -> ChunkedScene:
+    """Sort spheres along the Morton curve and bound fixed-size chunks.
+
+    Quantization bounds use inner percentiles so a huge ground sphere
+    (center far outside the cluster, e.g. (0,-1000,0) in the RTiOW scene)
+    doesn't collapse everyone else's codes; outliers just land in edge
+    cells and their chunk bound grows to cover them (that chunk is then
+    simply never culled — correct, and cheap because it's one chunk).
+    """
+    cx, cy, cz, rad = attrs[0], attrs[1], attrs[2], attrs[3]
+    lo = jnp.stack([
+        jnp.percentile(cx, 5), jnp.percentile(cy, 5), jnp.percentile(cz, 5)
+    ])
+    hi = jnp.stack([
+        jnp.percentile(cx, 95), jnp.percentile(cy, 95), jnp.percentile(cz, 95)
+    ])
+    codes = morton_codes(cx, cy, cz, lo, hi)
+    order = jnp.argsort(codes)
+    attrs = tuple(a[order] for a in attrs)
+
+    s = attrs[0].shape[0]
+    pad = (-s) % chunk_size
+    if pad:
+        attrs = tuple(
+            jnp.concatenate([a, jnp.broadcast_to(a[-1], (pad,))]) for a in attrs
+        )
+    cx, cy, cz, rad = attrs[0], attrs[1], attrs[2], attrs[3]
+    nc = cx.shape[0] // chunk_size
+    g = lambda a: a.reshape(nc, chunk_size)
+    gx, gy, gz, gr = g(cx), g(cy), g(cz), g(rad)
+    ccx = 0.5 * (gx.min(axis=1) + gx.max(axis=1))
+    ccy = 0.5 * (gy.min(axis=1) + gy.max(axis=1))
+    ccz = 0.5 * (gz.min(axis=1) + gz.max(axis=1))
+    dist = jnp.sqrt(
+        (gx - ccx[:, None]) ** 2 + (gy - ccy[:, None]) ** 2 + (gz - ccz[:, None]) ** 2
+    )
+    # |rad|: negative radii (hollow-glass shells) still bound by magnitude
+    cr = (dist + jnp.abs(gr)).max(axis=1)
+    return ChunkedScene(
+        attrs=attrs,
+        chunk_cx=ccx,
+        chunk_cy=ccy,
+        chunk_cz=ccz,
+        chunk_r2=cr * cr,
+    )

@@ -1,0 +1,563 @@
+"""Fused Pallas TPU megakernel: the whole path trace in one kernel launch.
+
+This is the TPU-native equivalent of the reference's WGSL fragment shader
+(src/raytracer/raytracer.wgsl:50-172) — the one "device kernel" component of
+SURVEY.md §2 — re-architected for the VPU instead of a SIMT rasterizer:
+
+ - grid over pixel tiles; each program owns a (TSUB, 128) lane block of
+   pixels with all per-ray state (origin/direction/throughput/color SoA
+   component registers) resident in vector registers/VMEM;
+ - sphere + material attributes live in SMEM and stream through a
+   fori_loop closest-hit sweep that blends the winning sphere's material
+   attributes into lane registers as it goes — so the kernel needs **no
+   per-lane gathers at all** (TPUs hate random access; the reference's
+   storage-buffer indexing becomes running selects);
+ - the bounce loop is a while_loop with a whole-tile liveness early-exit
+   (the reference's per-thread `break` on miss, wgsl:167, becomes a
+   per-tile exit — profitable because paths in a tile terminate together);
+ - RNG is the same jenkins+PCG u32 recurrence as ops/rng.py, bit-identical
+   to the XLA wavefront path (verified in tests);
+ - materials are evaluated branchlessly and one-hot selected (the WGSL
+   `switch`, wgsl:174-202).
+
+Texture support: per-sphere *solid* albedos only (prefolded from the
+material table, including both checkerboard colors — checkerboard is
+procedural and fully supported). Scenes with image textures render on the
+XLA wavefront path, which gathers from the texture pool; the benchmark
+scenes (RTiOW ladder) are all solid-color.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.camera import CameraBasis
+from ...models.sky import SkyState
+from ..tracer import Scene
+
+MIN_T = 1.0e-3
+MAX_T = 1.0e3
+EPS = 1.0e-3
+PI = 3.14159265358979
+FRAC_1_PI = 1.0 / PI
+TWO_PI = 2.0 * PI
+
+# Material model ids (models/materials.py)
+_LAMBERTIAN, _METAL, _DIELECTRIC, _CHECKERBOARD = 0.0, 1.0, 2.0, 3.0
+_PINK = (0.9921, 0.24705, 0.57254)
+
+
+def acos_approx(x):
+    """Polynomial arccos (max err ~7e-5 rad; Mosaic has no acos lowering).
+
+    Abramowitz & Stegun 4.4.45 form on |x| with reflection for x < 0.
+    """
+    ax = jnp.abs(x)
+    p = 1.5707288 + ax * (-0.2121144 + ax * (0.0742610 + ax * (-0.0187293)))
+    f = jnp.sqrt(jnp.maximum(0.0, 1.0 - ax)) * p
+    return jnp.where(x >= 0.0, f, PI - f)
+
+
+def _rng_next(state):
+    """One PCG step (same integer recurrence as ops/rng.py)."""
+    old = state + jnp.uint32(747796405) + jnp.uint32(2891336453)
+    shift = (old >> 28) + jnp.uint32(4)
+    word = ((old >> shift) ^ old) * jnp.uint32(277803737)
+    return (word >> 22) ^ word
+
+
+def _rng_float(state):
+    state = _rng_next(state)
+    top = jax.lax.bitcast_convert_type(state >> 8, jnp.int32)
+    return state, top.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _jenkins(x):
+    x = x + (x << 10)
+    x = x ^ (x >> 6)
+    x = x + (x << 3)
+    x = x ^ (x >> 11)
+    x = x + (x << 15)
+    return x
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
+                 n_spheres: int, tsub: int, chunk_size: int, n_chunks: int,
+                 block_w: int, tiles_x: int):
+    """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
+    (ops/bvh.py): whole-tile bounding-sphere tests skip chunk bodies.
+
+    Lanes map to 2D screen blocks of block_h x block_w pixels (not scanline
+    runs) so each tile's rays form a narrow cone — the coherence that makes
+    tile-granularity culling effective.
+    """
+    tile = tsub * 128
+    block_h = tile // block_w
+    f32 = jnp.float32
+    culling = n_chunks > 0
+    assert block_w & (block_w - 1) == 0, "block_w must be a power of two"
+    bw_shift = block_w.bit_length() - 1
+
+    def sky_channel(p, idx, cos_theta, gamma, cos_gamma):
+        """One channel of the HW-form radiance (raytracer.wgsl:316-343)."""
+        p0, p1, p2 = p[idx + 0], p[idx + 1], p[idx + 2]
+        p3, p4, p5 = p[idx + 3], p[idx + 4], p[idx + 5]
+        p6, p7, p8 = p[idx + 6], p[idx + 7], p[idx + 8]
+        exp_m = jnp.exp(p4 * gamma)
+        ray_m = cos_gamma * cos_gamma
+        mie_base = 1.0 + p8 * p8 - 2.0 * p8 * cos_gamma
+        mie = (1.0 + ray_m) / (mie_base * jnp.sqrt(mie_base))
+        zen = jnp.sqrt(cos_theta)
+        lhs = 1.0 + p0 * jnp.exp(p1 / (cos_theta + 0.01))
+        rhs = p2 + p3 * exp_m + p5 * ray_m + p6 * mie + p7 * zen
+        return lhs * rhs
+
+    def kernel(meta_ref, cam_ref, sky_ref,
+               scx, scy, scz, srad, smid, smx,
+               sa1r, sa1g, sa1b, sa2r, sa2g, sa2b,
+               ccx, ccy, ccz, cr2,
+               acc_in, acc_out):
+        t = pl.program_id(0)
+        frame = meta_ref[0]  # uint32 scalar
+        clear = meta_ref[1] == jnp.uint32(1)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tsub, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tsub, 128), 1)
+        lane = rows * 128 + cols
+        tx = t % tiles_x
+        ty = t // tiles_x
+        x = tx * block_w + (lane & (block_w - 1))
+        y = ty * block_h + (lane >> bw_shift)
+        # clamp padded lanes to the image (their output rows are dropped)
+        x = jnp.minimum(x, width - 1)
+        y = jnp.minimum(y, height - 1)
+        pix = y * width + x
+        xf = x.astype(f32)
+        yf = y.astype(f32)
+
+        state = _jenkins(
+            jax.lax.bitcast_convert_type(pix, jnp.uint32) ^ _jenkins(frame)
+        )
+
+        # camera basis scalars
+        ex, ey, ez = cam_ref[0], cam_ref[1], cam_ref[2]
+        hx, hy, hz = cam_ref[3], cam_ref[4], cam_ref[5]
+        vx, vy, vz = cam_ref[6], cam_ref[7], cam_ref[8]
+        ux, uy, uz = cam_ref[9], cam_ref[10], cam_ref[11]
+        wx, wy, wz = cam_ref[12], cam_ref[13], cam_ref[14]
+        lx, ly, lz = cam_ref[15], cam_ref[16], cam_ref[17]
+        lens_r = cam_ref[18]
+        sunx, suny, sunz = sky_ref[30], sky_ref[31], sky_ref[32]
+
+        inv_w = f32(1.0 / width)
+        inv_h = f32(1.0 / height)
+
+        tot_r = jnp.zeros((tsub, 128), f32)
+        tot_g = jnp.zeros((tsub, 128), f32)
+        tot_b = jnp.zeros((tsub, 128), f32)
+
+        def intersect_body(s, carry):
+            (bt, bcx, bcy, bcz, brad, bmid, bmx,
+             b1r, b1g, b1b, b2r, b2g, b2b,
+             ox, oy, oz, dx, dy, dz) = carry
+            cx, cy, cz, rad = scx[s], scy[s], scz[s], srad[s]
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
+            cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+            disc = bq * bq - cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -bq - sq
+            t1 = -bq + sq
+            hit0 = (t0 > MIN_T) & (t0 < bt)
+            hit1 = (t1 > MIN_T) & (t1 < bt)
+            ts = jnp.where(hit0, t0, jnp.where(hit1, t1, MAX_T))
+            better = (disc > 0.0) & (ts < bt)
+            bt = jnp.where(better, ts, bt)
+            bcx = jnp.where(better, cx, bcx)
+            bcy = jnp.where(better, cy, bcy)
+            bcz = jnp.where(better, cz, bcz)
+            brad = jnp.where(better, rad, brad)
+            bmid = jnp.where(better, smid[s], bmid)
+            bmx = jnp.where(better, smx[s], bmx)
+            b1r = jnp.where(better, sa1r[s], b1r)
+            b1g = jnp.where(better, sa1g[s], b1g)
+            b1b = jnp.where(better, sa1b[s], b1b)
+            b2r = jnp.where(better, sa2r[s], b2r)
+            b2g = jnp.where(better, sa2g[s], b2g)
+            b2b = jnp.where(better, sa2b[s], b2b)
+            return (bt, bcx, bcy, bcz, brad, bmid, bmx,
+                    b1r, b1g, b1b, b2r, b2g, b2b,
+                    ox, oy, oz, dx, dy, dz)
+
+        def bounce_cond(carry):
+            i = carry[0]
+            alive_f = carry[13]
+            # alive mask carried as f32 0/1: Mosaic can't legalize i1
+            # vectors in while carries.
+            return (i < num_bounces) & (jnp.max(alive_f) > 0.0)
+
+        def bounce_body(carry):
+            (i, ox, oy, oz, dx, dy, dz,
+             tr, tg, tb, cr, cg, cb, alive_f, state) = carry
+            alive = alive_f > 0.5
+
+            zero = jnp.zeros((tsub, 128), f32)
+            one = jnp.ones((tsub, 128), f32)
+            init = (jnp.full((tsub, 128), MAX_T, f32),
+                    zero, zero, zero, one, zero, zero,
+                    zero, zero, zero, zero, zero, zero,
+                    ox, oy, oz, dx, dy, dz)
+            if culling:
+                def chunk_body(c, carry):
+                    bt = carry[0]
+                    # Tile-vs-chunk bounding sphere test: can any live
+                    # lane's ray hit the bound closer than its current best?
+                    bx, by, bz, r2 = ccx[c], ccy[c], ccz[c], cr2[c]
+                    qx, qy, qz = ox - bx, oy - by, oz - bz
+                    bq = _dot3(qx, qy, qz, dx, dy, dz)
+                    cq = _dot3(qx, qy, qz, qx, qy, qz) - r2
+                    disc = bq * bq - cq
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    possible = (
+                        alive & (disc > 0.0) & (-bq - sq < bt) & (-bq + sq > MIN_T)
+                    )
+                    return jax.lax.cond(
+                        jnp.any(possible),
+                        lambda cr: jax.lax.fori_loop(
+                            c * chunk_size, (c + 1) * chunk_size,
+                            intersect_body, cr,
+                        ),
+                        lambda cr: cr,
+                        carry,
+                    )
+
+                res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+            else:
+                res = jax.lax.fori_loop(0, n_spheres, intersect_body, init)
+            (bt, bcx, bcy, bcz, brad, bmid, bmx,
+             b1r, b1g, b1b, b2r, b2g, b2b) = res[:13]
+
+            hit = bt < MAX_T
+            px = ox + bt * dx
+            py = oy + bt * dy
+            pz = oz + bt * dz
+            inv_r = 1.0 / brad
+            nx = (px - bcx) * inv_r
+            ny = (py - bcy) * inv_r
+            nz = (pz - bcz) * inv_r
+
+            state, r1 = _rng_float(state)
+            state, r2 = _rng_float(state)
+            state, r3 = _rng_float(state)
+            state, r4 = _rng_float(state)
+
+            # --- diffuse direction (pixarOnb + cosine hemisphere) ---
+            sgn = jnp.where(nz >= 0.0, 1.0, -1.0)
+            a = -1.0 / (sgn + nz)
+            bb = nx * ny * a
+            t1x = 1.0 + sgn * nx * nx * a
+            t1y = sgn * bb
+            t1z = -sgn * nx
+            t2x = bb
+            t2y = sgn + ny * ny * a
+            t2z = -ny
+            sqr2 = jnp.sqrt(r2)
+            zl = jnp.sqrt(jnp.maximum(0.0, 1.0 - r2))
+            phi = TWO_PI * r1
+            xl = jnp.cos(phi) * sqr2
+            yl = jnp.sin(phi) * sqr2
+            difx = xl * t1x + yl * t2x + zl * nx
+            dify = xl * t1y + yl * t2y + zl * ny
+            difz = xl * t1z + yl * t2z + zl * nz
+            ndw = _dot3(nx, ny, nz, difx, dify, difz)
+            lam_ratio = (FRAC_1_PI * jnp.maximum(EPS, ndw)) / jnp.maximum(
+                EPS, ndw * FRAC_1_PI
+            )
+
+            # --- unit-ball point (metal fuzz / missing material) ---
+            rr = jnp.power(r1, 1.0 / 3.0)
+            cth = 1.0 - 2.0 * r2
+            sth = jnp.sqrt(jnp.maximum(0.0, 1.0 - cth * cth))
+            ph3 = TWO_PI * r3
+            ballx = rr * sth * jnp.cos(ph3)
+            bally = rr * sth * jnp.sin(ph3)
+            ballz = rr * cth
+
+            # --- metal ---
+            ddn2 = 2.0 * _dot3(dx, dy, dz, nx, ny, nz)
+            rflx = dx - ddn2 * nx
+            rfly = dy - ddn2 * ny
+            rflz = dz - ddn2 * nz
+            metx = rflx + bmx * ballx
+            mety = rfly + bmx * bally
+            metz = rflz + bmx * ballz
+
+            # --- dielectric (RTiOW-correct; see ops/scatter.py) ---
+            ddn = 0.5 * ddn2
+            front = ddn < 0.0
+            osx = jnp.where(front, nx, -nx)
+            osy = jnp.where(front, ny, -ny)
+            osz = jnp.where(front, nz, -nz)
+            eta = jnp.where(front, 1.0 / bmx, bmx)
+            cosine = jnp.where(front, -ddn, bmx * ddn)
+            dt = _dot3(dx, dy, dz, osx, osy, osz)
+            disc_d = 1.0 - eta * eta * (1.0 - dt * dt)
+            can_refract = disc_d > 0.0
+            sqd = jnp.sqrt(jnp.maximum(disc_d, 0.0))
+            refx = eta * (dx - dt * osx) - sqd * osx
+            refy = eta * (dy - dt * osy) - sqd * osy
+            refz = eta * (dz - dt * osz) - sqd * osz
+            r0 = (1.0 - bmx) / (1.0 + bmx)
+            r0 = r0 * r0
+            omc = 1.0 - jnp.clip(cosine, 0.0, 1.0)
+            omc2 = omc * omc
+            schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+            reflect_prob = jnp.where(can_refract, schlick, 1.0)
+            use_reflect = r4 < reflect_prob
+            dlx = jnp.where(use_reflect, rflx, refx)
+            dly = jnp.where(use_reflect, rfly, refy)
+            dlz = jnp.where(use_reflect, rflz, refz)
+
+            # --- checkerboard albedo (3D sine parity, wgsl:300-307) ---
+            sines = jnp.sin(5.0 * px) * jnp.sin(5.0 * py) * jnp.sin(5.0 * pz)
+            even = sines < 0.0
+            chkr = jnp.where(even, b1r, b2r)
+            chkg = jnp.where(even, b1g, b2g)
+            chkb = jnp.where(even, b1b, b2b)
+
+            # --- select by material id ---
+            is_lam = bmid == _LAMBERTIAN
+            is_met = bmid == _METAL
+            is_die = bmid == _DIELECTRIC
+            is_chk = bmid == _CHECKERBOARD
+            is_dif = is_lam | is_chk
+
+            def sel(m, yes, no):
+                return jnp.where(m, yes, no)
+
+            missx = nx + ballx
+            missy = ny + bally
+            missz = nz + ballz
+            ndx = sel(is_dif, difx, sel(is_met, metx, sel(is_die, dlx, missx)))
+            ndy = sel(is_dif, dify, sel(is_met, mety, sel(is_die, dly, missy)))
+            ndz = sel(is_dif, difz, sel(is_met, metz, sel(is_die, dlz, missz)))
+
+            att_r = sel(is_lam, b1r * lam_ratio,
+                        sel(is_chk, chkr * lam_ratio,
+                            sel(is_met, b1r, sel(is_die, 1.0, _PINK[0]))))
+            att_g = sel(is_lam, b1g * lam_ratio,
+                        sel(is_chk, chkg * lam_ratio,
+                            sel(is_met, b1g, sel(is_die, 1.0, _PINK[1]))))
+            att_b = sel(is_lam, b1b * lam_ratio,
+                        sel(is_chk, chkb * lam_ratio,
+                            sel(is_met, b1b, sel(is_die, 1.0, _PINK[2]))))
+
+            inv_len = jax.lax.rsqrt(
+                jnp.maximum(1.0e-24, _dot3(ndx, ndy, ndz, ndx, ndy, ndz))
+            )
+            ndx = ndx * inv_len
+            ndy = ndy * inv_len
+            ndz = ndz * inv_len
+
+            # --- sky on miss (HW-form distribution) ---
+            cos_theta = jnp.abs(jnp.clip(dy, -1.0, 1.0))
+            cos_gamma = jnp.clip(
+                _dot3(dx, dy, dz, sunx, suny, sunz), -1.0, 1.0
+            )
+            gamma = acos_approx(cos_gamma)
+            sky_r = sky_ref[27] * sky_channel(sky_ref, 0, cos_theta, gamma, cos_gamma)
+            sky_g = sky_ref[28] * sky_channel(sky_ref, 9, cos_theta, gamma, cos_gamma)
+            sky_b = sky_ref[29] * sky_channel(sky_ref, 18, cos_theta, gamma, cos_gamma)
+
+            active = alive & hit
+            miss = alive & (~hit)
+            tr = jnp.where(active, tr * att_r, tr)
+            tg = jnp.where(active, tg * att_g, tg)
+            tb = jnp.where(active, tb * att_b, tb)
+            cr = jnp.where(miss, sky_r, cr)
+            cg = jnp.where(miss, sky_g, cg)
+            cb = jnp.where(miss, sky_b, cb)
+            ox = jnp.where(active, px, ox)
+            oy = jnp.where(active, py, oy)
+            oz = jnp.where(active, pz, oz)
+            dx = jnp.where(active, ndx, dx)
+            dy = jnp.where(active, ndy, dy)
+            dz = jnp.where(active, ndz, dz)
+            return (i + 1, ox, oy, oz, dx, dy, dz,
+                    tr, tg, tb, cr, cg, cb,
+                    jnp.where(active, 1.0, 0.0).astype(f32), state)
+
+        for _ in range(spp):
+            # Jittered screen sample + thin-lens ray (wgsl:105-122, 456-478)
+            state, ju = _rng_float(state)
+            state, jv = _rng_float(state)
+            state, dr = _rng_float(state)
+            state, da = _rng_float(state)
+            su = (xf + ju) * inv_w
+            sv = 1.0 - (yf + jv) * inv_h
+            lr = jnp.sqrt(dr)
+            la = TWO_PI * da
+            lens_x = lens_r * lr * jnp.cos(la)
+            lens_y = lens_r * lr * jnp.sin(la)
+            ox = ex + lens_x * ux + lens_y * wx
+            oy = ey + lens_x * uy + lens_y * wy
+            oz = ez + lens_x * uz + lens_y * wz
+            dx = lx + su * hx + sv * vx - ox
+            dy = ly + su * hy + sv * vy - oy
+            dz = lz + su * hz + sv * vz - oz
+            inv_len = jax.lax.rsqrt(
+                jnp.maximum(1.0e-24, _dot3(dx, dy, dz, dx, dy, dz))
+            )
+            dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+
+            one = jnp.ones((tsub, 128), f32)
+            zero = jnp.zeros((tsub, 128), f32)
+            carry = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                     one, one, one, zero, zero, zero,
+                     one, state)
+            carry = jax.lax.while_loop(bounce_cond, bounce_body, carry)
+            tr, tg, tb = carry[7], carry[8], carry[9]
+            cr, cg, cb = carry[10], carry[11], carry[12]
+            state = carry[14]
+            tot_r = tot_r + tr * cr
+            tot_g = tot_g + tg * cg
+            tot_b = tot_b + tb * cb
+
+        base_r = jnp.where(clear, 0.0, acc_in[0])
+        base_g = jnp.where(clear, 0.0, acc_in[1])
+        base_b = jnp.where(clear, 0.0, acc_in[2])
+        acc_out[0] = base_r + tot_r
+        acc_out[1] = base_g + tot_g
+        acc_out[2] = base_b + tot_b
+
+    return kernel
+
+
+def _is_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "num_bounces", "tsub",
+                     "chunk_size", "block_w", "interpret"),
+)
+def render_image_pallas(
+    accum: jnp.ndarray,  # [H*W, 3] f32
+    frame: jnp.ndarray,  # u32 scalar
+    clear: jnp.ndarray,  # bool scalar
+    scene: Scene,
+    sky: SkyState,
+    basis: CameraBasis,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    num_bounces: int,
+    tsub: int = 16,
+    chunk_size: int = 32,
+    block_w: int = 32,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """One progressive frame via the fused megakernel; drop-in for
+    ops.tracer.render_image. Requires solid-color materials (see module
+    docstring); use MaterialTable.all_solid to pick the backend."""
+    if interpret is None:
+        interpret = _is_cpu()
+    n = width * height
+    tile = tsub * 128
+    block_h = tile // block_w
+    wp = -(-width // block_w) * block_w
+    hp = -(-height // block_h) * block_h
+    tiles_x = wp // block_w
+    n_tiles = tiles_x * (hp // block_h)
+
+    # Static lane-order <-> scanline permutation (pure Python/NumPy; baked
+    # into the compiled step as constants).
+    import numpy as _np
+
+    t_ids = _np.arange(n_tiles)[:, None]
+    lanes = _np.arange(tile)[None, :]
+    lx = (t_ids % tiles_x) * block_w + (lanes & (block_w - 1))
+    ly = (t_ids // tiles_x) * block_h + (lanes >> (block_w.bit_length() - 1))
+    perm = (ly * wp + lx).reshape(-1)  # lane slot -> padded pixel index
+    inv_perm = _np.argsort(perm).astype(_np.int32)  # padded pixel -> lane slot
+    perm = jnp.asarray(perm.astype(_np.int32))
+    inv_perm = jnp.asarray(inv_perm)
+
+    sph = scene.spheres
+    mat = scene.materials
+    midx = sph.material_idx
+    s_attrs = (
+        sph.centers[:, 0], sph.centers[:, 1], sph.centers[:, 2], sph.radii,
+        mat.ids[midx].astype(jnp.float32), mat.x[midx],
+        mat.albedo1[midx, 0], mat.albedo1[midx, 1], mat.albedo1[midx, 2],
+        mat.albedo2[midx, 0], mat.albedo2[midx, 1], mat.albedo2[midx, 2],
+    )
+    n_spheres = int(sph.centers.shape[0])
+
+    # Morton-chunk culling pays off once there are a few chunks' worth of
+    # spheres; tiny scenes stay on the plain sweep.
+    use_culling = chunk_size > 0 and n_spheres >= 2 * chunk_size
+    if use_culling:
+        from ..bvh import build_chunks
+
+        chunked = build_chunks(s_attrs, chunk_size)
+        s_attrs = chunked.attrs
+        chunk_arrays = (
+            chunked.chunk_cx, chunked.chunk_cy, chunked.chunk_cz,
+            chunked.chunk_r2,
+        )
+        n_spheres = int(s_attrs[0].shape[0])
+        n_chunks = n_spheres // chunk_size
+    else:
+        z1 = jnp.zeros((1,), jnp.float32)
+        chunk_arrays = (z1, z1, z1, z1)
+        n_chunks = 0
+
+    cam_vec = jnp.concatenate([
+        basis.eye, basis.horizontal, basis.vertical, basis.u, basis.v,
+        basis.lower_left_corner, basis.lens_radius[None],
+        jnp.zeros((1,), jnp.float32),
+    ]).astype(jnp.float32)
+    sky_vec = jnp.concatenate([
+        sky.params.reshape(27), sky.radiances, sky.sun_direction
+    ]).astype(jnp.float32)
+    meta = jnp.stack([
+        frame.astype(jnp.uint32),
+        clear.astype(jnp.uint32),
+    ])
+
+    # [n, 3] scanline -> padded 2D -> tile-lane order channel planes
+    acc2d = accum.T.reshape(3, height, width)
+    acc2d = jnp.pad(acc2d, ((0, 0), (0, hp - height), (0, wp - width)))
+    acc = acc2d.reshape(3, hp * wp)[:, perm].reshape(3, n_tiles * tsub, 128)
+
+    kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
+                          chunk_size, n_chunks, block_w, tiles_x)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[smem(), smem(), smem()] + [smem()] * 12 + [smem()] * 4 + [
+            pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n_tiles * tsub, 128), jnp.float32),
+        input_output_aliases={19: 0},
+        interpret=interpret,
+    )(meta, cam_vec, sky_vec, *s_attrs, *chunk_arrays, acc)
+
+    out2d = out.reshape(3, -1)[:, inv_perm].reshape(3, hp, wp)
+    return out2d[:, :height, :width].reshape(3, n).T

@@ -51,8 +51,13 @@ def next_state(state: jnp.ndarray) -> jnp.ndarray:
 
 def next_float(state: jnp.ndarray):
     """Advance and return (new_state, uniform f32 in [0, 1))."""
+    import jax
+
     state = next_state(state)
-    value = (state >> 8).astype(jnp.float32) * jnp.float32(_INV_2_24)
+    # Top 24 bits; bitcast to int32 (sign bit is clear after >> 8) because
+    # Mosaic has no uint32->f32 conversion.
+    top = jax.lax.bitcast_convert_type(state >> 8, jnp.int32)
+    value = top.astype(jnp.float32) * jnp.float32(_INV_2_24)
     return state, value
 
 

@@ -225,6 +225,36 @@ class Renderer:
     def accumulated_samples(self) -> int:
         return self._progress.accumulated_samples()
 
+    # -- checkpoint / resume (SURVEY.md §5: the accumulator + sample count
+    # are the render's whole persistent state; the reference keeps them
+    # only in GPU memory across frames, mod.rs:615-679) ----------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the progressive render state to an .npz file."""
+        np.savez_compressed(
+            path,
+            accum=np.asarray(self._accum),
+            accumulated_spp=np.int64(self._progress.accumulated_samples()),
+            frame_number=np.int64(self._frame_number),
+            viewport=np.asarray(self._params.viewport_size, dtype=np.int64),
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume a progressive render saved by save_checkpoint.
+
+        The checkpoint must match the current viewport; parameter changes
+        after resume behave exactly like live changes (reset on change).
+        """
+        data = np.load(path)
+        vp = tuple(int(v) for v in data["viewport"])
+        if vp != tuple(self._params.viewport_size):
+            raise ValueError(
+                f"checkpoint viewport {vp} != current {self._params.viewport_size}"
+            )
+        self._accum = jnp.asarray(data["accum"])
+        self._progress._accumulated = int(data["accumulated_spp"])
+        self._frame_number = int(data["frame_number"])
+
     # -- readback ------------------------------------------------------------
 
     def mean_radiance(self) -> jnp.ndarray:
