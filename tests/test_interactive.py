@@ -77,3 +77,48 @@ def test_renderer_camera_roundtrip():
     from weekend_raytracer_tpu import RenderParams
 
     RenderParams(camera=cam, viewport_size=(64, 48)).validate()
+
+
+# --- CLI plumbing (headless front door) ---
+
+def test_cli_parse_size():
+    from weekend_raytracer_tpu.cli import parse_size
+
+    assert parse_size("1920x1080") == (1920, 1080)
+    assert parse_size("64X36") == (64, 36)
+
+
+def test_cli_unknown_scene_exits_2(capsys):
+    from weekend_raytracer_tpu.cli import main
+
+    assert main(["--scene", "bogus"]) == 2
+    assert "unknown scene" in capsys.readouterr().err
+
+
+def test_cli_scene_list(capsys):
+    from weekend_raytracer_tpu.cli import main
+
+    assert main(["--scene", "list"]) == 0
+    out = capsys.readouterr().out
+    for name in ("demo", "rtiow", "random10k"):
+        assert name in out
+
+
+def test_viewer_keymap_updates_params():
+    """Viewer key handling mutates params with validation (no render)."""
+    from weekend_raytracer_tpu.interactive.viewer import TerminalViewer
+    from weekend_raytracer_tpu.interactive.fly_camera import FlyCameraController
+    from weekend_raytracer_tpu.models import scenes
+
+    v = TerminalViewer(scenes.three_spheres(), FlyCameraController(),
+                       viewport=(32, 18))
+    v.renderer.render_frame()
+    assert v.renderer.accumulated_samples() > 0
+    ap0 = v.controller.aperture
+    assert v.handle_key("F")
+    assert v.controller.aperture > ap0
+    # param change reset accumulation
+    assert v.renderer.accumulated_samples() == 0
+    assert v.handle_key("2")
+    assert v.params.sampling.num_samples_per_pixel == 2
+    assert not v.handle_key("\x1b")  # ESC quits

@@ -92,7 +92,8 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  n_spheres: int, tsub: int, chunk_size: int, n_chunks: int,
-                 block_w: int, tiles_x: int):
+                 block_w: int, tiles_x: int, super_factor: int,
+                 n_super: int):
     """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
     (ops/bvh.py): whole-tile bounding-sphere tests skip chunk bodies.
 
@@ -104,6 +105,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
     block_h = tile // block_w
     f32 = jnp.float32
     culling = n_chunks > 0
+    two_level = n_super > 0
     assert block_w & (block_w - 1) == 0, "block_w must be a power of two"
     bw_shift = block_w.bit_length() - 1
 
@@ -123,8 +125,8 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
 
     def kernel(meta_ref, cam_ref, sky_ref,
                scx, scy, scz, srad, smid, smx,
-               sa1r, sa1g, sa1b, sa2r, sa2g, sa2b,
-               ccx, ccy, ccz, cr2,
+               sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq,
+               ccx, ccy, ccz, cr2, sbx, sby, sbz, sbr2,
                acc_in, acc_out):
         t = pl.program_id(0)
         frame = meta_ref[0]  # uint32 scalar
@@ -166,37 +168,30 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         tot_b = jnp.zeros((tsub, 128), f32)
 
         def intersect_body(s, carry):
-            (bt, bcx, bcy, bcz, brad, bmid, bmx,
-             b1r, b1g, b1b, b2r, b2g, b2b,
-             ox, oy, oz, dx, dy, dz) = carry
-            cx, cy, cz, rad = scx[s], scy[s], scz[s], srad[s]
-            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-            bq = _dot3(ocx, ocy, ocz, dx, dy, dz)
-            cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+            # Slim closest-hit sweep: only (best_t, best_idx) are carried
+            # (winner attributes are retrieved afterwards). The quadratic
+            # uses the expanded form b = o.d - c.d, c = |o|^2 - 2 o.c + kq
+            # with kq = |c|^2 - r^2 precomputed per sphere, so the loop
+            # reads 4 scalars/sphere and runs ~26 VPU ops.
+            (bt, bidx, ox, oy, oz, dx, dy, dz, od, oo) = carry
+            cx, cy, cz, kq = scx[s], scy[s], scz[s], skq[s]
+            cd = cx * dx + cy * dy + cz * dz
+            co = cx * ox + cy * oy + cz * oz
+            bq = od - cd
+            cq = oo - 2.0 * co + kq
             disc = bq * bq - cq
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t0 = -bq - sq
-            t1 = -bq + sq
-            hit0 = (t0 > MIN_T) & (t0 < bt)
-            hit1 = (t1 > MIN_T) & (t1 < bt)
-            ts = jnp.where(hit0, t0, jnp.where(hit1, t1, MAX_T))
-            better = (disc > 0.0) & (ts < bt)
+            nb = -bq
+            t0 = nb - sq
+            t1 = nb + sq
+            # prefer the near root; t1 >= t0 so "t0 in range but beyond
+            # best while t1 is closer" cannot happen (same semantics as
+            # the two-test form in ops/intersect.py)
+            ts = jnp.where(t0 > MIN_T, t0, t1)
+            better = (disc > 0.0) & (ts > MIN_T) & (ts < bt)
             bt = jnp.where(better, ts, bt)
-            bcx = jnp.where(better, cx, bcx)
-            bcy = jnp.where(better, cy, bcy)
-            bcz = jnp.where(better, cz, bcz)
-            brad = jnp.where(better, rad, brad)
-            bmid = jnp.where(better, smid[s], bmid)
-            bmx = jnp.where(better, smx[s], bmx)
-            b1r = jnp.where(better, sa1r[s], b1r)
-            b1g = jnp.where(better, sa1g[s], b1g)
-            b1b = jnp.where(better, sa1b[s], b1b)
-            b2r = jnp.where(better, sa2r[s], b2r)
-            b2g = jnp.where(better, sa2g[s], b2g)
-            b2b = jnp.where(better, sa2b[s], b2b)
-            return (bt, bcx, bcy, bcz, brad, bmid, bmx,
-                    b1r, b1g, b1b, b2r, b2g, b2b,
-                    ox, oy, oz, dx, dy, dz)
+            bidx = jnp.where(better, s.astype(f32), bidx)
+            return (bt, bidx, ox, oy, oz, dx, dy, dz, od, oo)
 
         def bounce_cond(carry):
             i = carry[0]
@@ -212,41 +207,91 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
 
             zero = jnp.zeros((tsub, 128), f32)
             one = jnp.ones((tsub, 128), f32)
+            od = _dot3(ox, oy, oz, dx, dy, dz)
+            oo = _dot3(ox, oy, oz, ox, oy, oz)
             init = (jnp.full((tsub, 128), MAX_T, f32),
-                    zero, zero, zero, one, zero, zero,
-                    zero, zero, zero, zero, zero, zero,
-                    ox, oy, oz, dx, dy, dz)
-            if culling:
-                def chunk_body(c, carry):
-                    bt = carry[0]
-                    # Tile-vs-chunk bounding sphere test: can any live
-                    # lane's ray hit the bound closer than its current best?
-                    bx, by, bz, r2 = ccx[c], ccy[c], ccz[c], cr2[c]
-                    qx, qy, qz = ox - bx, oy - by, oz - bz
-                    bq = _dot3(qx, qy, qz, dx, dy, dz)
-                    cq = _dot3(qx, qy, qz, qx, qy, qz) - r2
-                    disc = bq * bq - cq
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    possible = (
-                        alive & (disc > 0.0) & (-bq - sq < bt) & (-bq + sq > MIN_T)
-                    )
+                    jnp.full((tsub, 128), -1.0, f32),
+                    ox, oy, oz, dx, dy, dz, od, oo)
+            def bound_possible(bt, bx, by, bz, r2):
+                """Can any live lane's ray hit this bounding sphere closer
+                than its current best-t?"""
+                qx, qy, qz = ox - bx, oy - by, oz - bz
+                bq = _dot3(qx, qy, qz, dx, dy, dz)
+                cq = _dot3(qx, qy, qz, qx, qy, qz) - r2
+                disc = bq * bq - cq
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                return jnp.any(
+                    alive & (disc > 0.0) & (-bq - sq < bt) & (-bq + sq > MIN_T)
+                )
+
+            def chunk_body(c, carry):
+                base = c * chunk_size
+                return jax.lax.cond(
+                    bound_possible(carry[0], ccx[c], ccy[c], ccz[c], cr2[c]),
+                    lambda cr: jax.lax.fori_loop(
+                        0, chunk_size,
+                        lambda j, cr2: intersect_body(base + j, cr2),
+                        cr, unroll=chunk_size,
+                    ),
+                    lambda cr: cr,
+                    carry,
+                )
+
+            if two_level:
+                def super_body(sc, carry):
                     return jax.lax.cond(
-                        jnp.any(possible),
+                        bound_possible(carry[0], sbx[sc], sby[sc], sbz[sc],
+                                       sbr2[sc]),
                         lambda cr: jax.lax.fori_loop(
-                            c * chunk_size, (c + 1) * chunk_size,
-                            intersect_body, cr,
+                            sc * super_factor, (sc + 1) * super_factor,
+                            chunk_body, cr,
                         ),
                         lambda cr: cr,
                         carry,
                     )
 
+                res = jax.lax.fori_loop(0, n_super, super_body, init)
+            elif culling:
                 res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
             else:
-                res = jax.lax.fori_loop(0, n_spheres, intersect_body, init)
-            (bt, bcx, bcy, bcz, brad, bmid, bmx,
-             b1r, b1g, b1b, b2r, b2g, b2b) = res[:13]
-
+                res = jax.lax.fori_loop(0, n_spheres, intersect_body, init,
+                                        unroll=n_spheres)
+            bt, bidx = res[0], res[1]
             hit = bt < MAX_T
+
+            # --- winner-attribute retrieval: blend the 12 per-sphere
+            # attributes of each lane's best sphere, visiting only chunks
+            # that contain some lane's winner (coherent tiles touch 1-3).
+            def retrieve_span(lo, hi, carry):
+                def body(s, cr):
+                    m = bidx == s.astype(f32)
+                    vals = (scx[s], scy[s], scz[s], srad[s], smid[s], smx[s],
+                            sa1r[s], sa1g[s], sa1b[s],
+                            sa2r[s], sa2g[s], sa2b[s])
+                    return tuple(
+                        jnp.where(m, v, old) for v, old in zip(vals, cr)
+                    )
+                return jax.lax.fori_loop(lo, hi, body, carry)
+
+            rinit = (zero, zero, zero, one, zero, zero,
+                     zero, zero, zero, zero, zero, zero)
+            if culling:
+                def retr_chunk(c, carry):
+                    lo_f = (c * chunk_size).astype(f32)
+                    hi_f = ((c + 1) * chunk_size).astype(f32)
+                    present = (bidx >= lo_f) & (bidx < hi_f)
+                    return jax.lax.cond(
+                        jnp.any(present),
+                        lambda cr: retrieve_span(
+                            c * chunk_size, (c + 1) * chunk_size, cr),
+                        lambda cr: cr,
+                        carry,
+                    )
+                rres = jax.lax.fori_loop(0, n_chunks, retr_chunk, rinit)
+            else:
+                rres = retrieve_span(0, n_spheres, rinit)
+            (bcx, bcy, bcz, brad, bmid, bmx,
+             b1r, b1g, b1b, b2r, b2g, b2b) = rres
             px = ox + bt * dx
             py = oy + bt * dy
             pz = oz + bt * dz
@@ -449,7 +494,7 @@ def _is_cpu() -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "tsub",
-                     "chunk_size", "block_w", "interpret"),
+                     "chunk_size", "block_w", "super_factor", "interpret"),
 )
 def render_image_pallas(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -463,9 +508,10 @@ def render_image_pallas(
     height: int,
     spp: int,
     num_bounces: int,
-    tsub: int = 16,
+    tsub: int = 32,
     chunk_size: int = 32,
-    block_w: int = 32,
+    block_w: int = 64,
+    super_factor: int = 8,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """One progressive frame via the fused megakernel; drop-in for
@@ -504,25 +550,39 @@ def render_image_pallas(
         mat.albedo2[midx, 0], mat.albedo2[midx, 1], mat.albedo2[midx, 2],
     )
     n_spheres = int(sph.centers.shape[0])
+    # 13th attribute: kq = |c|^2 - r^2 (quadratic constant; appended after
+    # the chunk sort so it rides the same reorder)
 
     # Morton-chunk culling pays off once there are a few chunks' worth of
     # spheres; tiny scenes stay on the plain sweep.
     use_culling = chunk_size > 0 and n_spheres >= 2 * chunk_size
+    z1 = jnp.zeros((1,), jnp.float32)
+    super_arrays = (z1, z1, z1, z1)
+    n_super = 0
     if use_culling:
-        from ..bvh import build_chunks
+        from ..bvh import build_chunks, order_front_to_back, super_bounds
 
         chunked = build_chunks(s_attrs, chunk_size)
+        # Visit near chunks first: tightens best-t early so far bounds
+        # fail the cull (pure permutation, identical results).
+        chunked = order_front_to_back(chunked, basis.eye, chunk_size)
         s_attrs = chunked.attrs
+        n_spheres = int(s_attrs[0].shape[0])
+        n_chunks = n_spheres // chunk_size
         chunk_arrays = (
             chunked.chunk_cx, chunked.chunk_cy, chunked.chunk_cz,
             chunked.chunk_r2,
         )
-        n_spheres = int(s_attrs[0].shape[0])
-        n_chunks = n_spheres // chunk_size
+        if n_chunks >= 2 * super_factor:
+            chunk_arrays, super_arrays = super_bounds(chunked, super_factor)
+            n_super = int(chunk_arrays[0].shape[0]) // super_factor
     else:
-        z1 = jnp.zeros((1,), jnp.float32)
         chunk_arrays = (z1, z1, z1, z1)
         n_chunks = 0
+
+    cx_, cy_, cz_, rad_ = s_attrs[0], s_attrs[1], s_attrs[2], s_attrs[3]
+    kq = cx_ * cx_ + cy_ * cy_ + cz_ * cz_ - rad_ * rad_
+    s_attrs = s_attrs + (kq,)
 
     cam_vec = jnp.concatenate([
         basis.eye, basis.horizontal, basis.vertical, basis.u, basis.v,
@@ -543,21 +603,22 @@ def render_image_pallas(
     acc = acc2d.reshape(3, hp * wp)[:, perm].reshape(3, n_tiles * tsub, 128)
 
     kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
-                          chunk_size, n_chunks, block_w, tiles_x)
+                          chunk_size, n_chunks, block_w, tiles_x,
+                          super_factor, n_super)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem(), smem(), smem()] + [smem()] * 12 + [smem()] * 4 + [
+        in_specs=[smem(), smem(), smem()] + [smem()] * 13 + [smem()] * 8 + [
             pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n_tiles * tsub, 128), jnp.float32),
-        input_output_aliases={19: 0},
+        input_output_aliases={24: 0},
         interpret=interpret,
-    )(meta, cam_vec, sky_vec, *s_attrs, *chunk_arrays, acc)
+    )(meta, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays, acc)
 
     out2d = out.reshape(3, -1)[:, inv_perm].reshape(3, hp, wp)
     return out2d[:, :height, :width].reshape(3, n).T

@@ -95,7 +95,7 @@ class Renderer:
     backend : "xla" (wavefront jitted tracer) or "pallas" (fused kernel)
     """
 
-    def __init__(self, scene, params: RenderParams, backend: str = "xla"):
+    def __init__(self, scene, params: RenderParams, backend: str = "auto"):
         params.validate()
         if isinstance(scene, SceneDesc):
             self._scene_desc = scene
@@ -103,6 +103,10 @@ class Renderer:
         else:
             self._scene_desc = None
             self._scene = scene
+        if backend == "auto":
+            # The fused kernel handles solid/procedural materials; image
+            # textures need the gathering XLA path.
+            backend = "pallas" if self._scene.materials.all_solid else "xla"
         self.backend = backend
         self._params = params
         self._progress = RenderProgress()
