@@ -376,3 +376,17 @@ def test_tonemap_monotonic_and_range():
 def test_tonemap_zero_is_zero():
     y = np.asarray(tonemap.uncharted2(jnp.zeros((4, 3))))
     np.testing.assert_allclose(y, 0.0, atol=1e-6)
+
+
+def test_scatter_emissive_terminates():
+    out = _scatter_lane(Material.emissive((1.0, 0.5, 0.25), intensity=4.0),
+                        d=(0, 0, -1), n=(0, 0, 1))
+    assert bool(out.terminate[0])
+    np.testing.assert_allclose(np.asarray(out.emission[0]), [4.0, 2.0, 1.0],
+                               rtol=1e-5)
+
+
+def test_scatter_non_emissive_does_not_terminate():
+    out = _scatter_lane(Material.lambertian((0.5, 0.5, 0.5)),
+                        d=(0, 0, -1), n=(0, 0, 1))
+    assert not bool(out.terminate[0])

@@ -126,3 +126,43 @@ def test_renderer_pallas_backend():
     assert stats.samples_per_pixel == 4
     img = r.image()
     assert img.shape == (18, 32, 3)
+
+
+def test_emissive_in_kernel():
+    """Emissive termination matches the XLA path in the fused kernel."""
+    from weekend_raytracer_tpu.models.camera import Camera
+
+    desc = SceneDesc(
+        materials=[
+            Material.lambertian((0.7, 0.7, 0.7)),
+            Material.emissive((1.0, 0.8, 0.5), intensity=8.0),
+        ],
+        spheres=[
+            Sphere((0.0, -100.5, 0.0), 100.0, 0),
+            Sphere((0.0, 2.5, 0.0), 1.0, 1),
+        ],
+    )
+    cam = Camera.look_at((0, 1.5, 5.0), (0, 1.0, 0.0), vfov_degrees=45.0)
+    w, h = 48, 32
+    scene = desc.build()
+    basis = CameraBasis.create(cam, (w, h))
+    params = np.zeros((3, 9), np.float32)
+    params[:, 2] = 1.0
+    sky = SkyState.from_raw(params, np.zeros(3), np.array([0.0, 1.0, 0.0]))
+    a = _run(render_image, scene, sky, basis, w, h, frames=8, spp=4, bounces=6)
+    b = _run(render_image_pallas, scene, sky, basis, w, h, frames=8, spp=4,
+             bounces=6)
+    assert a.mean() > 0.01  # the light illuminates the scene
+    # silhouette pixels of the bright light flip hit/miss chaotically at
+    # low spp; compare the mean and the non-silhouette body of the image
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.02
+    diff = np.abs(a - b).max(axis=-1)
+    body = diff < 0.5  # exclude light-edge outlier pixels
+    assert body.mean() > 0.90
+    ta = np.asarray(to_srgb_u8(a.reshape(h, w, 3))).astype(np.float32) / 255
+    tb = np.asarray(to_srgb_u8(b.reshape(h, w, 3))).astype(np.float32) / 255
+    # A small bright light is a high-variance integrand: once paths
+    # diverge at its silhouette the two 64-sample estimates are
+    # quasi-independent, so allow Monte-Carlo-level deviation.
+    rmse = float(np.sqrt(((ta - tb)[body.reshape(h, w)] ** 2).mean()))
+    assert rmse < 0.08, rmse

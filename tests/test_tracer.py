@@ -159,3 +159,37 @@ def test_sphere_chunking_invariant():
                                  to_sky_state(SkyParams()), basis, 16, 9, 1, 3,
                                  sphere_chunk=64)).reshape(9, 16, 3)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_emissive_light_terminates_path():
+    """A camera ray hitting an emissive sphere returns exactly its
+    radiance (throughput 1 at the first bounce) under a black sky."""
+    desc = SceneDesc(
+        materials=[Material.emissive((1.0, 0.5, 0.25), intensity=6.0)],
+        spheres=[Sphere((0.0, 0.0, -3.0), 1.0, 0)],
+    )
+    cam = Camera.look_at((0, 0, 1), (0, 0, -3), vfov_degrees=10.0)
+    img = _render_xla(desc, cam, 16, 16, 4, 8, sky=_constant_sky((0, 0, 0))) / 4
+    center = img[8, 8]
+    np.testing.assert_allclose(center, [6.0, 3.0, 1.5], rtol=1e-4)
+
+
+def test_emissive_illuminates_diffuse():
+    """A diffuse floor under only an emissive light picks up indirect
+    radiance (non-zero) and matches the oracle."""
+    desc = SceneDesc(
+        materials=[
+            Material.lambertian((0.8, 0.8, 0.8)),
+            Material.emissive((1.0, 1.0, 1.0), intensity=10.0),
+        ],
+        spheres=[
+            Sphere((0.0, -100.5, 0.0), 100.0, 0),
+            Sphere((0.0, 3.0, 0.0), 1.5, 1),
+        ],
+    )
+    cam = Camera.look_at((0, 1.0, 6.0), (0, 0.0, 0.0), vfov_degrees=40.0)
+    got = _render_xla(desc, cam, 24, 16, 8, 6, sky=_constant_sky((0, 0, 0))) / 8
+    assert got.mean() > 0.05  # light reaches the floor
+    oracle = OracleTracer(desc, cam, 24, 16, sky_state=_constant_sky((0, 0, 0)))
+    want = oracle.render(8, 6) / 8
+    _assert_oracle_match(got, want)

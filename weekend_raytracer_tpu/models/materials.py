@@ -27,6 +27,9 @@ LAMBERTIAN = 0
 METAL = 1
 DIELECTRIC = 2
 CHECKERBOARD = 3
+# Beyond-reference (BASELINE.md config 4: emissive light): a diffuse area
+# light — paths terminate on hit and pick up x * albedo radiance.
+EMISSIVE = 4
 
 # Unknown-material signal color (raytracer.wgsl:312).
 ERROR_PINK = (0.9921, 0.24705, 0.57254)
@@ -61,6 +64,12 @@ class Material:
         odd: Texture | Tuple[float, float, float],
     ) -> "Material":
         return Material(CHECKERBOARD, _as_tex(even), _as_tex(odd), 0.0)
+
+    @staticmethod
+    def emissive(
+        color: Texture | Tuple[float, float, float], intensity: float = 1.0
+    ) -> "Material":
+        return Material(EMISSIVE, _as_tex(color), _WHITE, float(intensity))
 
 
 def _as_tex(t) -> Texture:

@@ -275,12 +275,14 @@ def textured_spheres(assets_dir: Optional[str] = None) -> SceneDesc:
         Material.lambertian(earth),
         Material.lambertian(moon),
         Material.metal((0.9, 0.9, 0.95), fuzz=0.05),
+        Material.emissive((1.0, 0.85, 0.6), intensity=12.0),
     ]
     spheres = [
         Sphere((0.0, -1000.0, 0.0), 1000.0, 0),
         Sphere((0.0, 2.0, 0.0), 2.0, 1),
         Sphere((3.0, 1.0, 2.0), 1.0, 2),
         Sphere((-3.5, 1.5, -1.0), 1.5, 3),
+        Sphere((2.5, 5.0, -3.0), 0.8, 4),  # emissive area light
     ]
     return SceneDesc(materials=materials, spheres=spheres)
 

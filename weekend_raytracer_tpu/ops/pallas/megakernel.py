@@ -49,6 +49,7 @@ TWO_PI = 2.0 * PI
 
 # Material model ids (models/materials.py)
 _LAMBERTIAN, _METAL, _DIELECTRIC, _CHECKERBOARD = 0.0, 1.0, 2.0, 3.0
+_EMISSIVE = 4.0
 _PINK = (0.9921, 0.24705, 0.57254)
 
 
@@ -425,21 +426,27 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
 
             active = alive & hit
             miss = alive & (~hit)
-            tr = jnp.where(active, tr * att_r, tr)
-            tg = jnp.where(active, tg * att_g, tg)
-            tb = jnp.where(active, tb * att_b, tb)
+            # emissive area light: the path ends here with x * albedo
+            lit = active & (bmid == _EMISSIVE)
+            scattering = active & (bmid != _EMISSIVE)
+            tr = jnp.where(scattering, tr * att_r, tr)
+            tg = jnp.where(scattering, tg * att_g, tg)
+            tb = jnp.where(scattering, tb * att_b, tb)
             cr = jnp.where(miss, sky_r, cr)
             cg = jnp.where(miss, sky_g, cg)
             cb = jnp.where(miss, sky_b, cb)
-            ox = jnp.where(active, px, ox)
-            oy = jnp.where(active, py, oy)
-            oz = jnp.where(active, pz, oz)
-            dx = jnp.where(active, ndx, dx)
-            dy = jnp.where(active, ndy, dy)
-            dz = jnp.where(active, ndz, dz)
+            cr = jnp.where(lit, bmx * b1r, cr)
+            cg = jnp.where(lit, bmx * b1g, cg)
+            cb = jnp.where(lit, bmx * b1b, cb)
+            ox = jnp.where(scattering, px, ox)
+            oy = jnp.where(scattering, py, oy)
+            oz = jnp.where(scattering, pz, oz)
+            dx = jnp.where(scattering, ndx, dx)
+            dy = jnp.where(scattering, ndy, dy)
+            dz = jnp.where(scattering, ndz, dz)
             return (i + 1, ox, oy, oz, dx, dy, dz,
                     tr, tg, tb, cr, cg, cb,
-                    jnp.where(active, 1.0, 0.0).astype(f32), state)
+                    jnp.where(scattering, 1.0, 0.0).astype(f32), state)
 
         for _ in range(spp):
             # Jittered screen sample + thin-lens ray (wgsl:105-122, 456-478)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..models.materials import (
     CHECKERBOARD,
     DIELECTRIC,
+    EMISSIVE,
     ERROR_PINK,
     LAMBERTIAN,
     METAL,
@@ -47,6 +48,8 @@ _FRAC_1_PI = 1.0 / _PI
 class ScatterResult(NamedTuple):
     direction: jnp.ndarray  # [N, 3] unit
     albedo: jnp.ndarray  # [N, 3] throughput multiplier
+    emission: jnp.ndarray  # [N, 3] radiance for terminating (emissive) hits
+    terminate: jnp.ndarray  # [N] bool: path ends at this hit (area light)
 
 
 def texture_lookup(
@@ -198,6 +201,12 @@ def scatter(
     direction, thr = sel(METAL, metal_dir, metal_thr, direction, thr)
     direction, thr = sel(LAMBERTIAN, diffuse_dir, lam_thr, direction, thr)
 
+    # --- emissive area light: terminate with x * albedo radiance ---
+    terminate = mid == EMISSIVE
+    emission = x[:, None] * albedo1
+
     norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
     direction = direction / jnp.maximum(norm, 1.0e-12)
-    return ScatterResult(direction=direction, albedo=thr)
+    return ScatterResult(
+        direction=direction, albedo=thr, emission=emission, terminate=terminate
+    )

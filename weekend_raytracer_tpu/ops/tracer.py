@@ -82,12 +82,15 @@ def trace_paths(
 
         active_hit = alive & hit
         miss_now = alive & ~hit
+        lit = active_hit & sc.terminate  # emissive hit ends the path
+        scattering = active_hit & ~sc.terminate
 
-        throughput = jnp.where(active_hit[:, None], throughput * sc.albedo, throughput)
+        throughput = jnp.where(scattering[:, None], throughput * sc.albedo, throughput)
         color = jnp.where(miss_now[:, None], sky_rgb, color)
-        o = jnp.where(active_hit[:, None], p, o)
-        d = jnp.where(active_hit[:, None], sc.direction, d)
-        alive = active_hit
+        color = jnp.where(lit[:, None], sc.emission, color)
+        o = jnp.where(scattering[:, None], p, o)
+        d = jnp.where(scattering[:, None], sc.direction, d)
+        alive = scattering
         return (o, d, throughput, color, alive, states), None
 
     n_lanes = o.shape[0]

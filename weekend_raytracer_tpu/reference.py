@@ -245,10 +245,13 @@ class OracleTracer:
                 sky_rgb = self.sky(d)
                 active = alive & hit
                 missed = alive & ~hit
-                thr = np.where(active[:, None], thr * new_thr, thr)
+                lit = active & (mid == 4)  # emissive: path ends here
+                scattering = active & (mid != 4)
+                thr = np.where(scattering[:, None], thr * new_thr, thr)
                 col = np.where(missed[:, None], sky_rgb, col)
-                o = np.where(active[:, None], p, o).astype(np.float32)
-                d = np.where(active[:, None], new_d, d)
-                alive = active
+                col = np.where(lit[:, None], mx[:, None] * alb1, col)
+                o = np.where(scattering[:, None], p, o).astype(np.float32)
+                d = np.where(scattering[:, None], new_d, d)
+                alive = scattering
             acc += thr * col
         return acc.reshape(H, W, 3)
