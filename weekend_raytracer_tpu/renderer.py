@@ -96,6 +96,9 @@ class Renderer:
     """
 
     def __init__(self, scene, params: RenderParams, backend: str = "auto"):
+        from .utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         params.validate()
         if isinstance(scene, SceneDesc):
             self._scene_desc = scene
