@@ -31,7 +31,6 @@ def main(argv=None) -> int:
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--assets", default=None, help="dir with earthmap/moon images")
-    p.add_argument("--seed-frame", type=int, default=0)
     p.add_argument("-o", "--output", default="render.png")
     p.add_argument("--stats-json", action="store_true",
                    help="print render stats as one JSON line")

@@ -29,7 +29,6 @@ scenes (RTiOW ladder) are all solid-color.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

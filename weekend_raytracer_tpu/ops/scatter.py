@@ -132,7 +132,7 @@ def _schlick(cosine, ior):
 def scatter(
     d: jnp.ndarray,  # [N, 3] unit incoming direction
     n: jnp.ndarray,  # [N, 3] outward hit normal
-    p: jnp.ndarray,  # [N, 3] hit point (unused; origin = p for all models)
+    p: jnp.ndarray,  # [N, 3] hit point (checkerboard parity; origin for all)
     u: jnp.ndarray,  # [N] spherical u
     v: jnp.ndarray,  # [N] spherical v
     mat_idx: jnp.ndarray,  # [N] i32 per-lane material index

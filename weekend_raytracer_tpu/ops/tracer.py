@@ -30,7 +30,7 @@ from ..models.materials import MaterialTable
 from ..models.sky import SkyState
 from ..models.spheres import SphereSoA
 from . import rng
-from .intersect import MAX_T, hit_record, intersect
+from .intersect import hit_record, intersect
 from .scatter import scatter
 from .sky_radiance import sky_radiance
 

@@ -14,12 +14,12 @@ gated on environment configuration (no cluster is assumed).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
 
-from .sharding import TILE_AXIS, make_mesh
+from .sharding import make_mesh
 
 
 def initialize(

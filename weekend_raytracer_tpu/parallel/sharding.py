@@ -20,7 +20,7 @@ frames), mirroring the reference's accumulator-never-leaves-device design.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
