@@ -58,11 +58,14 @@ def main() -> None:
     renderer.render_frame()
     renderer.sync()
 
+    from weekend_raytracer_tpu.utils.metrics import profiler_trace
+
     t0 = time.perf_counter()
     frames = 0
-    while renderer.render_frame():
-        frames += 1
-    renderer.sync()
+    with profiler_trace(os.environ.get("WRT_PROFILE_DIR")):
+        while renderer.render_frame():
+            frames += 1
+        renderer.sync()
     dt = time.perf_counter() - t0
 
     spp_timed = frames * spp_frame

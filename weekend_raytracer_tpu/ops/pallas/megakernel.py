@@ -167,13 +167,12 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         tot_g = jnp.zeros((tsub, 128), f32)
         tot_b = jnp.zeros((tsub, 128), f32)
 
-        def intersect_body(s, carry):
-            # Slim closest-hit sweep: only (best_t, best_idx) are carried
-            # (winner attributes are retrieved afterwards). The quadratic
-            # uses the expanded form b = o.d - c.d, c = |o|^2 - 2 o.c + kq
-            # with kq = |c|^2 - r^2 precomputed per sphere, so the loop
-            # reads 4 scalars/sphere and runs ~26 VPU ops.
-            (bt, bidx, ox, oy, oz, dx, dy, dz, od, oo) = carry
+        def sphere_ts(s, carry):
+            """Hit parameter for sphere s (MAX_T when invalid); fully
+            independent per sphere. The quadratic uses the expanded form
+            b = o.d - c.d, c = |o|^2 - 2 o.c + kq with kq = |c|^2 - r^2
+            precomputed per sphere: 4 scalar reads, ~22 VPU ops."""
+            (_, _, ox, oy, oz, dx, dy, dz, od, oo) = carry
             cx, cy, cz, kq = scx[s], scy[s], scz[s], skq[s]
             cd = cx * dx + cy * dy + cz * dz
             co = cx * ox + cy * oy + cz * oz
@@ -188,10 +187,35 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             # best while t1 is closer" cannot happen (same semantics as
             # the two-test form in ops/intersect.py)
             ts = jnp.where(t0 > MIN_T, t0, t1)
-            better = (disc > 0.0) & (ts > MIN_T) & (ts < bt)
-            bt = jnp.where(better, ts, bt)
-            bidx = jnp.where(better, s.astype(f32), bidx)
-            return (bt, bidx, ox, oy, oz, dx, dy, dz, od, oo)
+            valid = (disc > 0.0) & (ts > MIN_T)
+            return jnp.where(valid, ts, MAX_T)
+
+        def sweep_span_tree(base, count, carry):
+            """Closest hit over spheres [base, base+count): per-sphere ts
+            values are independent, so the running min is reassociated as
+            a balanced tree — no serial select chain, the VPU runs at
+            issue rate instead of select-latency rate. Tie-breaking stays
+            first-index-wins (strict < at every merge)."""
+            items = []
+            for j in range(count):
+                s = base + j
+                items.append((sphere_ts(s, carry), s.astype(f32)))
+            while len(items) > 1:
+                merged = []
+                for k in range(0, len(items) - 1, 2):
+                    (ta, ia), (tb, ib) = items[k], items[k + 1]
+                    take_b = tb < ta
+                    merged.append((
+                        jnp.minimum(ta, tb), jnp.where(take_b, ib, ia)
+                    ))
+                if len(items) % 2:
+                    merged.append(items[-1])
+                items = merged
+            tm, im = items[0]
+            bt, bidx = carry[0], carry[1]
+            better = tm < bt
+            return (jnp.where(better, tm, bt), jnp.where(better, im, bidx),
+                    *carry[2:])
 
         def bounce_cond(carry):
             i = carry[0]
@@ -225,14 +249,9 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                 )
 
             def chunk_body(c, carry):
-                base = c * chunk_size
                 return jax.lax.cond(
                     bound_possible(carry[0], ccx[c], ccy[c], ccz[c], cr2[c]),
-                    lambda cr: jax.lax.fori_loop(
-                        0, chunk_size,
-                        lambda j, cr2: intersect_body(base + j, cr2),
-                        cr, unroll=chunk_size,
-                    ),
+                    lambda cr: sweep_span_tree(c * chunk_size, chunk_size, cr),
                     lambda cr: cr,
                     carry,
                 )
@@ -254,8 +273,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             elif culling:
                 res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
             else:
-                res = jax.lax.fori_loop(0, n_spheres, intersect_body, init,
-                                        unroll=n_spheres)
+                res = sweep_span_tree(jnp.int32(0), n_spheres, init)
             bt, bidx = res[0], res[1]
             hit = bt < MAX_T
 
