@@ -201,3 +201,33 @@ def test_reference_demo_scene():
     assert len(desc.materials) == 5
     ids = [m.id for m in desc.materials]
     assert ids == [3, 0, 1, 2, 0]  # checker, lamb, metal, dielectric, lamb
+
+
+def test_scene_build_validates_material_indices():
+    desc = scenes.SceneDesc(
+        materials=[Material.lambertian((1, 1, 1))],
+        spheres=[Sphere((0, 0, 0), 1.0, 3)],  # out of range
+    )
+    with pytest.raises(ValueError, match="material indices"):
+        desc.build()
+    with pytest.raises(ValueError, match="no spheres"):
+        scenes.SceneDesc(materials=[Material.dielectric(1.5)], spheres=[]).build()
+
+
+def test_sampling_envelope_smoke():
+    """The reference's full UI envelope (spp/frame {1,2,4}, max {128,256,512},
+    bounces [4,10]) builds valid renderers; one frame each at tiny size."""
+    from weekend_raytracer_tpu import Renderer
+
+    desc = scenes.single_sphere()
+    cam = scenes.single_sphere_camera()
+    for spp_frame, max_spp, bounces in [(1, 128, 4), (2, 256, 8), (4, 512, 10)]:
+        params = RenderParams(
+            camera=cam, viewport_size=(16, 9),
+            sampling=SamplingParams(max_samples_per_pixel=max_spp,
+                                    num_samples_per_pixel=spp_frame,
+                                    num_bounces=bounces),
+        )
+        r = Renderer(desc, params)
+        assert r.render_frame()
+        assert r.accumulated_samples() == spp_frame

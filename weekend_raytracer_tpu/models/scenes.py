@@ -34,9 +34,26 @@ class SceneDesc:
     spheres: List[Sphere]
 
     def build(self, pad_spheres_to: int | None = None):
-        """Lower to device arrays; returns ops.tracer.Scene."""
+        """Lower to device arrays; returns ops.tracer.Scene.
+
+        Raises ValueError for out-of-range material indices (the reference
+        silently renders unknown materials pink at runtime, wgsl:309-314 —
+        that path still exists for corrupted device data, but host-side
+        construction errors are caught here).
+        """
         from ..ops.tracer import Scene
 
+        if not self.spheres:
+            raise ValueError("scene has no spheres")
+        if not self.materials:
+            raise ValueError("scene has no materials")
+        bad = [i for i, s in enumerate(self.spheres)
+               if not (0 <= s.material_idx < len(self.materials))]
+        if bad:
+            raise ValueError(
+                f"spheres {bad[:5]} reference material indices outside "
+                f"[0, {len(self.materials)})"
+            )
         return Scene(
             spheres=SphereSoA.build(self.spheres, pad_to=pad_spheres_to),
             materials=MaterialTable.build(self.materials),
