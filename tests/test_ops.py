@@ -390,3 +390,47 @@ def test_scatter_non_emissive_does_not_terminate():
     out = _scatter_lane(Material.lambertian((0.5, 0.5, 0.5)),
                         d=(0, 0, -1), n=(0, 0, 1))
     assert not bool(out.terminate[0])
+
+
+def test_sky_golden_values():
+    """Regression pin: the Preetham-derived coefficients and the HW-form
+    evaluator must not drift silently (values captured at framework v0.1).
+    Directions: zenith, near-horizon (+x+z), and 60-deg-up (-z)."""
+    dirs = jnp.asarray([[0.0, 1.0, 0.0], [0.7071, 0.0002, 0.7071],
+                        [0.0, 0.5, -0.866]], jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    golden = {
+        (2.0, 30.0): [[4.5499, 6.6516, 12.4961],
+                      [13.5725, 19.8417, 37.2762],
+                      [5.2752, 7.7118, 14.4881]],
+        (4.0, 85.0): [[1.9296, 2.5878, 3.4628],
+                      [4.4532, 5.9722, 7.9916],
+                      [2.3524, 3.1548, 4.2216]],
+        (8.0, 60.0): [[11.6707, 15.3842, 19.9831],
+                      [13.0035, 17.1411, 22.2653],
+                      [9.8313, 12.9595, 16.8337]],
+    }
+    for (t, z), want in golden.items():
+        sky = to_sky_state(SkyParams(turbidity=t, zenith_degrees=z))
+        rad = np.asarray(sky_radiance(dirs, sky))
+        np.testing.assert_allclose(rad, np.asarray(want), rtol=2e-3)
+
+
+def test_sky_turbidity_flattens_gradient():
+    """A clear sky (low T) has a bright horizon against a dark zenith;
+    haze flattens and eventually inverts the gradient as the milky
+    circumsolar veil dominates. The horizon/zenith ratio must therefore
+    decrease monotonically with turbidity, and radiance must stay
+    positive over the whole UI range (a low-T Preetham degeneracy used
+    to flip signs — guarded by the internal T clamp)."""
+    horizon = jnp.asarray([[0.9999, 0.0141, 0.0]], jnp.float32)
+    zenith = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+    ratios = []
+    for t in (1.0, 2.5, 4.0, 9.0):
+        sky = to_sky_state(SkyParams(turbidity=t, zenith_degrees=45.0,
+                                     azimuth_degrees=180.0))
+        h = np.asarray(sky_radiance(horizon, sky))
+        zz = np.asarray(sky_radiance(zenith, sky))
+        assert (h > 0).all() and (zz > 0).all(), t
+        ratios.append(float(h.sum() / zz.sum()))
+    assert ratios[0] > ratios[1] > ratios[2] > ratios[3], ratios

@@ -136,7 +136,12 @@ def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
     """
     azimuth = Angle.degrees(sky.azimuth_degrees).as_radians()
     zenith = Angle.degrees(sky.zenith_degrees).as_radians()
-    t = float(sky.turbidity)
+    # The Preetham luminance distribution degenerates below T ~ 1.7 (the
+    # 1 + A e^{B/cos(theta)} factor goes negative at the zenith, flipping
+    # the normalized radiance sign at the horizon) — a known limitation of
+    # the model. Clamp the coefficient turbidity; the user-facing range
+    # stays [1, 10].
+    t = max(1.9, min(10.0, float(sky.turbidity)))
 
     sun_direction = np.array(
         [
