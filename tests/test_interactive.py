@@ -122,3 +122,25 @@ def test_viewer_keymap_updates_params():
     assert v.handle_key("2")
     assert v.params.sampling.num_samples_per_pixel == 2
     assert not v.handle_key("\x1b")  # ESC quits
+
+
+def test_cli_spp_frame_divisor_defaults():
+    """Default samples-per-frame must divide any --spp (review finding:
+    min(4, spp) crashed validation for e.g. --spp 50)."""
+    import weekend_raytracer_tpu.cli as cli
+
+    pick = lambda spp: next(d for d in (4, 2, 1) if spp % d == 0)
+    assert pick(50) == 2
+    assert pick(100) == 4
+    assert pick(7) == 1
+
+
+def test_viewer_ignores_empty_key():
+    from weekend_raytracer_tpu.interactive.viewer import TerminalViewer
+    from weekend_raytracer_tpu.interactive.fly_camera import FlyCameraController
+    from weekend_raytracer_tpu.models import scenes
+
+    v = TerminalViewer(scenes.three_spheres(), FlyCameraController(),
+                       viewport=(32, 18))
+    assert v.handle_key("")      # unknown escape sequence: keep running
+    assert not v.handle_key("\x1b")

@@ -231,3 +231,36 @@ def test_sampling_envelope_smoke():
         r = Renderer(desc, params)
         assert r.render_frame()
         assert r.accumulated_samples() == spp_frame
+
+
+def test_look_at_orthonormal_basis():
+    """look_at must orthogonalize the world-up hint: the basis derivation
+    (like the reference GpuCamera) uses up as given, so a raw world up
+    would shear the image plane for elevated cameras (review finding)."""
+    cam = Camera.look_at((-2.0, 2.0, 1.0), (0.0, 0.0, -1.0), vfov_degrees=20.0)
+    d = np.asarray(cam.eye_dir); d = d / np.linalg.norm(d)
+    up = np.asarray(cam.up)
+    assert abs(d @ up) < 1e-12          # orthogonal to the view direction
+    assert abs(np.linalg.norm(up) - 1.0) < 1e-12
+    basis = CameraBasis.create(cam, (160, 90))
+    u = np.asarray(basis.u)
+    v = np.asarray(basis.v)
+    assert abs(np.linalg.norm(u) - 1.0) < 1e-5   # unsheared, unit axes
+    assert abs(u @ v) < 1e-6
+
+
+def test_texture_from_array_dark_uint8():
+    img = np.ones((2, 2, 3), dtype=np.uint8)  # near-black 8-bit image
+    tex = Texture.from_array(img)
+    np.testing.assert_allclose(tex.data, 1.0 / 255.0, rtol=1e-6)
+    fimg = np.full((2, 2, 3), 0.25, dtype=np.float32)
+    np.testing.assert_allclose(Texture.from_array(fimg).data, 0.25)
+
+
+def test_material_table_all_solid_survives_tree_ops():
+    import jax
+
+    table = MaterialTable.build([Material.lambertian((1, 0, 0))])
+    assert table.all_solid
+    rebuilt = jax.tree_util.tree_map(lambda x: x, table)
+    assert rebuilt.all_solid

@@ -55,7 +55,11 @@ def main(argv=None) -> int:
         desc = build()
     scene = desc.build()
 
-    spp_frame = args.spp_per_frame or min(4, args.spp)
+    # default spp/frame: the largest of {4, 2, 1} that divides total spp
+    # (max_samples_per_pixel must be a multiple of samples-per-frame)
+    spp_frame = args.spp_per_frame or next(
+        d for d in (4, 2, 1) if args.spp % d == 0
+    )
     params = RenderParams(
         camera=cam_fn(),
         viewport_size=args.size,

@@ -83,9 +83,13 @@ class TerminalViewer:
             self.status = f"rejected: {e}"  # mirror eprintln! main.rs:196
 
     def handle_key(self, key: str) -> bool:
-        """Returns False to quit."""
+        """Returns False to quit. Multi-byte escape sequences (arrow keys
+        etc.) must be translated by the caller before reaching here — a
+        bare ESC quits."""
         c = self.controller
         step = 0.5
+        if not key:
+            return True  # ignored escape sequence
         if key in "\x1b\x03":
             return False
         if key in "wasdqe":
@@ -151,12 +155,29 @@ class TerminalViewer:
                 self.fps.update(time.perf_counter() - t0)
                 self.draw(img)
                 while select.select([sys.stdin], [], [], 0)[0]:
-                    if not self.handle_key(sys.stdin.read(1)):
+                    if not self.handle_key(self._read_key()):
                         running = False
                         break
         finally:
             termios.tcsetattr(fd, termios.TCSADRAIN, old)
             sys.stdout.write("\x1b[0m\n")
+
+    @staticmethod
+    def _read_key() -> str:  # pragma: no cover - interactive
+        """Read one logical key, translating ANSI escape sequences.
+
+        Arrow keys arrive as ESC [ A/B/C/D — map them to the look keys so
+        pressing an arrow doesn't read as a bare ESC (quit)."""
+        ch = sys.stdin.read(1)
+        if ch != "\x1b":
+            return ch
+        if not select.select([sys.stdin], [], [], 0.01)[0]:
+            return ch  # lone ESC: quit
+        seq = sys.stdin.read(1)
+        if seq != "[":
+            return ""  # unknown sequence: ignore
+        final = sys.stdin.read(1)
+        return {"A": "i", "B": "k", "C": "l", "D": "j"}.get(final, "")
 
     def draw(self, img: np.ndarray) -> None:  # pragma: no cover - interactive
         from ..utils import native

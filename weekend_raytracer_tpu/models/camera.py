@@ -42,15 +42,29 @@ class Camera:
         aperture: float = 0.0,
         focus_distance: float | None = None,
     ) -> "Camera":
+        """Camera aimed at ``target`` with ``up`` as the world-up hint.
+
+        The basis derivation (CameraBasis.create, like the reference's
+        GpuCamera::new) uses the stored up vector *as given*, so it must be
+        orthogonal to the view direction — the reference guarantees this by
+        construction in its fly camera (fly_camera.rs:236-239: right =
+        forward x world_up, up = right x... forward). Orthogonalize the
+        world-up hint here the same way; passing it through raw would shear
+        the image plane for any elevated camera.
+        """
         e = np.asarray(eye, dtype=np.float64)
         t = np.asarray(target, dtype=np.float64)
         d = t - e
         if focus_distance is None:
             focus_distance = float(np.linalg.norm(d))
+        f = d / np.linalg.norm(d)
+        right = np.cross(f, np.asarray(up, dtype=np.float64))
+        right /= np.linalg.norm(right)
+        up_ortho = np.cross(right, f)
         return Camera(
             eye_pos=tuple(float(x) for x in e),
             eye_dir=tuple(float(x) for x in d),
-            up=tuple(float(x) for x in up),
+            up=tuple(float(x) for x in up_ortho),
             vfov=Angle.degrees(vfov_degrees),
             aperture=float(aperture),
             focus_distance=float(focus_distance),

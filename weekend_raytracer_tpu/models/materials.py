@@ -90,14 +90,18 @@ class MaterialTable:
     albedo2: jnp.ndarray  # f32 [M, 3]
 
     def tree_flatten(self):
+        # all_solid rides as static aux data so it survives jit/device_put
+        # round-trips (it drives backend auto-selection).
         return (
             (self.ids, self.tex1, self.tex2, self.x, self.pool, self.albedo1, self.albedo2),
-            None,
+            getattr(self, "_all_solid", False),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        table = cls(*children)
+        object.__setattr__(table, "_all_solid", aux)
+        return table
 
     @property
     def num_materials(self) -> int:

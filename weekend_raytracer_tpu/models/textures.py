@@ -44,8 +44,11 @@ class Texture:
 
     @staticmethod
     def from_array(arr: np.ndarray) -> "Texture":
-        a = np.asarray(arr, dtype=np.float32)
-        if a.max() > 1.5:  # uint8-range input
+        """Integer arrays are treated as 8-bit-range and normalized;
+        float arrays are assumed already in [0, 1]."""
+        src = np.asarray(arr)
+        a = src.astype(np.float32)
+        if np.issubdtype(src.dtype, np.integer):
             a = a / 255.0
         return Texture(a)
 

@@ -179,8 +179,14 @@ def render_image(
             sphere_chunk,
         )
 
-    assert n % pixel_batch == 0, (n, pixel_batch)
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(-1, pixel_batch)
+    # Pad the pixel index list to a batch multiple with clamped (duplicate
+    # edge) indices; padded lanes render redundantly and their rows are
+    # dropped below, so any (n, pixel_batch) combination is valid.
+    pad = (-n) % pixel_batch
+    idx = jnp.concatenate([
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.full((pad,), n - 1, dtype=jnp.int32),
+    ]).reshape(-1, pixel_batch)
 
     def one_batch(batch_idx):
         return render_pixels(
@@ -189,4 +195,4 @@ def render_image(
         )
 
     out = jax.lax.map(one_batch, idx)
-    return accum + out.reshape(n, 3)
+    return accum + out.reshape(-1, 3)[:n]

@@ -35,16 +35,20 @@ def initialize(
     """
     if num_processes is not None and num_processes <= 1:
         return
-    if coordinator_address is None and num_processes is None and (
-        jax.process_count() > 1
-    ):
-        return  # already initialized by the runtime
     if coordinator_address or num_processes:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    # Auto-detect mode: on TPU pods jax.distributed reads the cluster
+    # environment itself. Outside a cluster this raises — that's the
+    # single-process case, which needs no initialization.
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass
 
 
 def global_mesh(spp_shards: int = 1):

@@ -197,7 +197,13 @@ class OracleTracer:
                 dif = (np.cos(ph) * sq2)[:, None] * tu + \
                       (np.sin(ph) * sq2)[:, None] * tv + z[:, None] * nrm
                 ndw = (nrm * dif).sum(-1)
-                lam_ratio = (np.maximum(EPS, ndw) / np.maximum(EPS, ndw))[:, None]
+                # eval/pdf with the device paths' exact clamping:
+                # (1/pi * max(EPS, n.wi)) / max(EPS, n.wi / pi)
+                frac_1_pi = 1.0 / np.pi
+                lam_ratio = (
+                    frac_1_pi * np.maximum(EPS, ndw)
+                    / np.maximum(EPS, ndw * frac_1_pi)
+                )[:, None]
 
                 # unit ball point
                 rr = np.cbrt(r1)

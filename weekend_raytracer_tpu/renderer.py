@@ -75,14 +75,12 @@ class RenderProgress:
         return self._accumulated
 
 
-def _default_pixel_batch(n_pixels: int, n_spheres: int) -> Optional[int]:
-    """Pick a pixel batch bounding the [lanes x chunk] intersect buffer."""
+def _default_pixel_batch(n_pixels: int) -> Optional[int]:
+    """Pick a pixel batch bounding the [lanes x sphere_chunk] intersect
+    intermediates on the XLA path (render_image pads non-divisible sizes)."""
     if n_pixels <= (1 << 17):
         return None
-    for b in (1 << 17, 1 << 16, 1 << 15):
-        if n_pixels % b == 0:
-            return b
-    return None
+    return 1 << 16
 
 
 class Renderer:
@@ -172,7 +170,7 @@ class Renderer:
                     height=h,
                     spp=spp,
                     num_bounces=bounces,
-                    pixel_batch=_default_pixel_batch(w * h, n_spheres),
+                    pixel_batch=_default_pixel_batch(w * h),
                 )
             self._step_cache[key] = jax.jit(fn, donate_argnums=(0,))
         return self._step_cache[key]
