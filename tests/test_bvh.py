@@ -44,16 +44,20 @@ def test_chunks_are_permutation_and_conservative():
     orig = set(np.asarray(attrs[4]).round(6).tolist())
     got = set(np.asarray(scene.attrs[4]).round(6).tolist())
     assert orig == got
-    # chunk bounds contain every member sphere entirely
+    # chunk AABBs contain every member sphere entirely
     nc = s // cs
     cx = np.asarray(scene.attrs[0]).reshape(nc, cs)
     cy = np.asarray(scene.attrs[1]).reshape(nc, cs)
     cz = np.asarray(scene.attrs[2]).reshape(nc, cs)
-    cr = np.asarray(scene.attrs[3]).reshape(nc, cs)
-    d = np.sqrt((cx - np.asarray(scene.chunk_cx)[:, None]) ** 2
-                + (cy - np.asarray(scene.chunk_cy)[:, None]) ** 2
-                + (cz - np.asarray(scene.chunk_cz)[:, None]) ** 2)
-    assert ((d + np.abs(cr)) ** 2 <= np.asarray(scene.chunk_r2)[:, None] * (1 + 1e-5)).all()
+    cr = np.abs(np.asarray(scene.attrs[3]).reshape(nc, cs))
+    lox, loy, loz, hix, hiy, hiz = (np.asarray(b) for b in scene.bounds)
+    tol = 1e-4
+    assert (cx - cr >= lox[:, None] - tol).all()
+    assert (cy - cr >= loy[:, None] - tol).all()
+    assert (cz - cr >= loz[:, None] - tol).all()
+    assert (cx + cr <= hix[:, None] + tol).all()
+    assert (cy + cr <= hiy[:, None] + tol).all()
+    assert (cz + cr <= hiz[:, None] + tol).all()
 
 
 def test_front_to_back_ordering():
@@ -61,34 +65,31 @@ def test_front_to_back_ordering():
     scene = build_chunks(attrs, 32)
     eye = jnp.array([0.0, 0.0, -50.0])
     ordered = order_front_to_back(scene, eye, 32)
-    d2 = (np.asarray(ordered.chunk_cx) - 0.0) ** 2 + \
-         (np.asarray(ordered.chunk_cy)) ** 2 + \
-         (np.asarray(ordered.chunk_cz) + 50.0) ** 2
+    ocx = 0.5 * (np.asarray(ordered.bounds[0]) + np.asarray(ordered.bounds[3]))
+    ocy = 0.5 * (np.asarray(ordered.bounds[1]) + np.asarray(ordered.bounds[4]))
+    ocz = 0.5 * (np.asarray(ordered.bounds[2]) + np.asarray(ordered.bounds[5]))
+    d2 = ocx ** 2 + ocy ** 2 + (ocz + 50.0) ** 2
     assert (np.diff(d2) >= -1e-3).all()
     # same sphere set, same chunk bound multiset
     np.testing.assert_allclose(
-        sorted(np.asarray(scene.chunk_r2).tolist()),
-        sorted(np.asarray(ordered.chunk_r2).tolist()), rtol=1e-6)
+        sorted(np.asarray(scene.bounds[0]).tolist()),
+        sorted(np.asarray(ordered.bounds[0]).tolist()), rtol=1e-6)
 
 
 def test_super_bounds_conservative():
     attrs = _attrs(1024)
     scene = build_chunks(attrs, 32)
-    (ccx, ccy, ccz, cr2), (sx, sy, sz, sr2) = super_bounds(scene, 8)
-    assert ccx.shape[0] % 8 == 0
-    nsc = ccx.shape[0] // 8
-    gx = np.asarray(ccx).reshape(nsc, 8)
-    gy = np.asarray(ccy).reshape(nsc, 8)
-    gz = np.asarray(ccz).reshape(nsc, 8)
-    gr = np.sqrt(np.asarray(cr2).reshape(nsc, 8))
-    d = np.sqrt((gx - np.asarray(sx)[:, None]) ** 2
-                + (gy - np.asarray(sy)[:, None]) ** 2
-                + (gz - np.asarray(sz)[:, None]) ** 2)
-    # skip padded far chunks (radius 0 at 1e9) for containment check of
-    # real chunks only
-    real = gr > 0
-    lhs = (d + gr) ** 2
-    assert (lhs[real] <= (np.asarray(sr2)[:, None] * (1 + 1e-5)).repeat(8, 1)[real]).all()
+    padded, supers = super_bounds(scene, 8)
+    assert padded[0].shape[0] % 8 == 0
+    nsc = padded[0].shape[0] // 8
+    for axis in range(3):
+        clo = np.asarray(padded[axis]).reshape(nsc, 8)
+        chi = np.asarray(padded[3 + axis]).reshape(nsc, 8)
+        real = clo <= chi  # skip inverted (padding) boxes
+        slo = np.asarray(supers[axis])[:, None].repeat(8, 1)
+        shi = np.asarray(supers[3 + axis])[:, None].repeat(8, 1)
+        assert (clo[real] >= slo[real] - 1e-4).all()
+        assert (chi[real] <= shi[real] + 1e-4).all()
 
 
 def test_pallas_10k_scene_interpret():

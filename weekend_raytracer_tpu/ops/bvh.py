@@ -50,19 +50,20 @@ def morton_codes(
 
 
 class ChunkedScene(NamedTuple):
-    """Morton-sorted per-sphere attributes + per-chunk bounding spheres.
+    """Morton-sorted per-sphere attributes + per-chunk AABBs.
 
     attrs: tuple of 12 (S_pad,) f32 arrays (cx, cy, cz, rad, mid, mx,
            a1r, a1g, a1b, a2r, a2g, a2b), sorted and padded by duplicating
            the last sphere (duplicates are harmless for closest-hit).
-    chunk_*: (NC,) f32 bounding-sphere data; chunk_r2 is the squared radius.
+    bounds: 6 (NC,) f32 arrays (lox, loy, loz, hix, hiy, hiz). AABBs beat
+            bounding spheres decisively for flat sphere fields: a grazing
+            ray stays outside a thin y-slab until near its hit point,
+            where it would pass within a fat bounding sphere's radius for
+            most of its flight.
     """
 
     attrs: Tuple[jnp.ndarray, ...]
-    chunk_cx: jnp.ndarray
-    chunk_cy: jnp.ndarray
-    chunk_cz: jnp.ndarray
-    chunk_r2: jnp.ndarray
+    bounds: Tuple[jnp.ndarray, ...]
 
 
 def order_front_to_back(scene: ChunkedScene, eye: jnp.ndarray,
@@ -71,52 +72,44 @@ def order_front_to_back(scene: ChunkedScene, eye: jnp.ndarray,
 
     Closest-hit sweeps visit chunks in array order; putting near chunks
     first tightens each lane's best-t early, so later (farther) chunk
-    bounds fail the `t0 < best_t` cull. Pure permutation — results are
+    bounds fail the `t_near < best_t` cull. Pure permutation — results are
     identical, only the amount of skipped work changes. Costs one small
     gather per frame (runs under jit in the render step).
     """
-    d2 = (
-        (scene.chunk_cx - eye[0]) ** 2
-        + (scene.chunk_cy - eye[1]) ** 2
-        + (scene.chunk_cz - eye[2]) ** 2
-    )
+    lox, loy, loz, hix, hiy, hiz = scene.bounds
+    cx = 0.5 * (lox + hix)
+    cy = 0.5 * (loy + hiy)
+    cz = 0.5 * (loz + hiz)
+    d2 = (cx - eye[0]) ** 2 + (cy - eye[1]) ** 2 + (cz - eye[2]) ** 2
     order = jnp.argsort(d2)
     sphere_order = (order[:, None] * chunk_size
                     + jnp.arange(chunk_size)[None, :]).reshape(-1)
     return ChunkedScene(
         attrs=tuple(a[sphere_order] for a in scene.attrs),
-        chunk_cx=scene.chunk_cx[order],
-        chunk_cy=scene.chunk_cy[order],
-        chunk_cz=scene.chunk_cz[order],
-        chunk_r2=scene.chunk_r2[order],
+        bounds=tuple(b[order] for b in scene.bounds),
     )
 
 
 def super_bounds(scene: ChunkedScene, super_factor: int):
-    """Level-2 bounding spheres over groups of ``super_factor`` chunks.
+    """Level-2 AABBs over groups of ``super_factor`` chunks.
 
-    Returns (scx, scy, scz, sr2) of shape (NSC,), padding the chunk count
-    to a multiple of super_factor with unhittable chunks (the caller must
-    pad its chunk arrays identically — see pad_chunks).
+    Returns (chunk_bounds_padded, super_bounds): 6 (NCP,) and 6 (NSC,)
+    arrays; chunk count is padded to a multiple of super_factor with
+    unhittable boxes (lo > hi at a far location).
     """
-    nc = scene.chunk_cx.shape[0]
+    nc = scene.bounds[0].shape[0]
     pad = (-nc) % super_factor
     far = 1.0e9
-    ccx = jnp.concatenate([scene.chunk_cx, jnp.full((pad,), far)])
-    ccy = jnp.concatenate([scene.chunk_cy, jnp.full((pad,), far)])
-    ccz = jnp.concatenate([scene.chunk_cz, jnp.full((pad,), far)])
-    cr2 = jnp.concatenate([scene.chunk_r2, jnp.zeros((pad,))])
+    los = [jnp.concatenate([b, jnp.full((pad,), far)]) for b in scene.bounds[:3]]
+    his = [jnp.concatenate([b, jnp.full((pad,), -far)]) for b in scene.bounds[3:]]
+    padded = tuple(los + his)
     nsc = (nc + pad) // super_factor
     g = lambda a: a.reshape(nsc, super_factor)
-    gx, gy, gz = g(ccx), g(ccy), g(ccz)
-    gr = jnp.sqrt(g(cr2))
-    sx = 0.5 * (gx.min(axis=1) + gx.max(axis=1))
-    sy = 0.5 * (gy.min(axis=1) + gy.max(axis=1))
-    sz = 0.5 * (gz.min(axis=1) + gz.max(axis=1))
-    dist = jnp.sqrt((gx - sx[:, None]) ** 2 + (gy - sy[:, None]) ** 2
-                    + (gz - sz[:, None]) ** 2)
-    sr = (dist + gr).max(axis=1)
-    return (ccx, ccy, ccz, cr2), (sx, sy, sz, sr * sr)
+    supers = tuple(
+        [g(b).min(axis=1) for b in padded[:3]]
+        + [g(b).max(axis=1) for b in padded[3:]]
+    )
+    return padded, supers
 
 
 def build_chunks(attrs: Tuple[jnp.ndarray, ...], chunk_size: int) -> ChunkedScene:
@@ -148,19 +141,11 @@ def build_chunks(attrs: Tuple[jnp.ndarray, ...], chunk_size: int) -> ChunkedScen
     cx, cy, cz, rad = attrs[0], attrs[1], attrs[2], attrs[3]
     nc = cx.shape[0] // chunk_size
     g = lambda a: a.reshape(nc, chunk_size)
-    gx, gy, gz, gr = g(cx), g(cy), g(cz), g(rad)
-    ccx = 0.5 * (gx.min(axis=1) + gx.max(axis=1))
-    ccy = 0.5 * (gy.min(axis=1) + gy.max(axis=1))
-    ccz = 0.5 * (gz.min(axis=1) + gz.max(axis=1))
-    dist = jnp.sqrt(
-        (gx - ccx[:, None]) ** 2 + (gy - ccy[:, None]) ** 2 + (gz - ccz[:, None]) ** 2
-    )
+    gx, gy, gz = g(cx), g(cy), g(cz)
     # |rad|: negative radii (hollow-glass shells) still bound by magnitude
-    cr = (dist + jnp.abs(gr)).max(axis=1)
-    return ChunkedScene(
-        attrs=attrs,
-        chunk_cx=ccx,
-        chunk_cy=ccy,
-        chunk_cz=ccz,
-        chunk_r2=cr * cr,
+    gr = jnp.abs(g(rad))
+    bounds = (
+        (gx - gr).min(axis=1), (gy - gr).min(axis=1), (gz - gr).min(axis=1),
+        (gx + gr).max(axis=1), (gy + gr).max(axis=1), (gz + gr).max(axis=1),
     )
+    return ChunkedScene(attrs=attrs, bounds=bounds)

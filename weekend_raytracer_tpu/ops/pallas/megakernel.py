@@ -126,7 +126,8 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
     def kernel(meta_ref, cam_ref, sky_ref,
                scx, scy, scz, srad, smid, smx,
                sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq,
-               ccx, ccy, ccz, cr2, sbx, sby, sbz, sbr2,
+               clox, cloy, cloz, chix, chiy, chiz,
+               slox, sloy, sloz, shix, shiy, shiz,
                acc_in, acc_out):
         t = pl.program_id(0)
         frame = meta_ref[0]  # uint32 scalar
@@ -236,21 +237,42 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             init = (jnp.full((tsub, 128), MAX_T, f32),
                     jnp.full((tsub, 128), -1.0, f32),
                     ox, oy, oz, dx, dy, dz, od, oo)
-            def bound_possible(bt, bx, by, bz, r2):
-                """Can any live lane's ray hit this bounding sphere closer
-                than its current best-t?"""
-                qx, qy, qz = ox - bx, oy - by, oz - bz
-                bq = _dot3(qx, qy, qz, dx, dy, dz)
-                cq = _dot3(qx, qy, qz, qx, qy, qz) - r2
-                disc = bq * bq - cq
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            # Robust inverse direction for AABB slab tests (signed epsilon
+            # avoids inf*0 NaNs when a component is exactly zero).
+            eps_d = jnp.float32(1.0e-12)
+            sgn_x = jnp.where(dx >= 0.0, 1.0, -1.0)
+            sgn_y = jnp.where(dy >= 0.0, 1.0, -1.0)
+            sgn_z = jnp.where(dz >= 0.0, 1.0, -1.0)
+            inv_dx = 1.0 / (sgn_x * jnp.maximum(jnp.abs(dx), eps_d))
+            inv_dy = 1.0 / (sgn_y * jnp.maximum(jnp.abs(dy), eps_d))
+            inv_dz = 1.0 / (sgn_z * jnp.maximum(jnp.abs(dz), eps_d))
+
+            def bound_possible(bt, lox_, loy_, loz_, hix_, hiy_, hiz_):
+                """Can any live lane's ray enter this AABB closer than its
+                current best-t? Standard slab test with min/max swap folded
+                into the signed inverse direction."""
+                tx0 = (lox_ - ox) * inv_dx
+                tx1 = (hix_ - ox) * inv_dx
+                ty0 = (loy_ - oy) * inv_dy
+                ty1 = (hiy_ - oy) * inv_dy
+                tz0 = (loz_ - oz) * inv_dz
+                tz1 = (hiz_ - oz) * inv_dz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
                 return jnp.any(
-                    alive & (disc > 0.0) & (-bq - sq < bt) & (-bq + sq > MIN_T)
+                    alive & (tfar >= tnear) & (tfar > MIN_T) & (tnear < bt)
                 )
 
             def chunk_body(c, carry):
                 return jax.lax.cond(
-                    bound_possible(carry[0], ccx[c], ccy[c], ccz[c], cr2[c]),
+                    bound_possible(carry[0], clox[c], cloy[c], cloz[c],
+                                   chix[c], chiy[c], chiz[c]),
                     lambda cr: sweep_span_tree(c * chunk_size, chunk_size, cr),
                     lambda cr: cr,
                     carry,
@@ -259,8 +281,8 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             if two_level:
                 def super_body(sc, carry):
                     return jax.lax.cond(
-                        bound_possible(carry[0], sbx[sc], sby[sc], sbz[sc],
-                                       sbr2[sc]),
+                        bound_possible(carry[0], slox[sc], sloy[sc], sloz[sc],
+                                       shix[sc], shiy[sc], shiz[sc]),
                         lambda cr: jax.lax.fori_loop(
                             sc * super_factor, (sc + 1) * super_factor,
                             chunk_body, cr,
@@ -581,7 +603,7 @@ def render_image_pallas(
     # spheres; tiny scenes stay on the plain sweep.
     use_culling = chunk_size > 0 and n_spheres >= 2 * chunk_size
     z1 = jnp.zeros((1,), jnp.float32)
-    super_arrays = (z1, z1, z1, z1)
+    super_arrays = (z1,) * 6
     n_super = 0
     if use_culling:
         from ..bvh import build_chunks, order_front_to_back, super_bounds
@@ -593,15 +615,12 @@ def render_image_pallas(
         s_attrs = chunked.attrs
         n_spheres = int(s_attrs[0].shape[0])
         n_chunks = n_spheres // chunk_size
-        chunk_arrays = (
-            chunked.chunk_cx, chunked.chunk_cy, chunked.chunk_cz,
-            chunked.chunk_r2,
-        )
+        chunk_arrays = chunked.bounds
         if n_chunks >= 2 * super_factor:
             chunk_arrays, super_arrays = super_bounds(chunked, super_factor)
             n_super = int(chunk_arrays[0].shape[0]) // super_factor
     else:
-        chunk_arrays = (z1, z1, z1, z1)
+        chunk_arrays = (z1,) * 6
         n_chunks = 0
 
     cx_, cy_, cz_, rad_ = s_attrs[0], s_attrs[1], s_attrs[2], s_attrs[3]
@@ -633,14 +652,14 @@ def render_image_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem(), smem(), smem()] + [smem()] * 13 + [smem()] * 8 + [
+        in_specs=[smem(), smem(), smem()] + [smem()] * 13 + [smem()] * 12 + [
             pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n_tiles * tsub, 128), jnp.float32),
-        input_output_aliases={24: 0},
+        input_output_aliases={28: 0},
         interpret=interpret,
     )(meta, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays, acc)
 
