@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--assets", default=None, help="dir with earthmap/moon images")
     p.add_argument("-o", "--output", default="render.png")
+    p.add_argument("--hdr", default=None, metavar="PATH.npz",
+                   help="also dump linear mean radiance (pre-tonemap) as .npz")
+    p.add_argument("--checkpoint", default=None, metavar="PATH.npz",
+                   help="resume from / save to a progressive render checkpoint")
     p.add_argument("--stats-json", action="store_true",
                    help="print render stats as one JSON line")
     args = p.parse_args(argv)
@@ -74,8 +78,20 @@ def main(argv=None) -> int:
     if backend == "auto":
         backend = "pallas" if scene.materials.all_solid else "xla"
     renderer = Renderer(scene, params, backend=backend)
+    import os
+
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        renderer.load_checkpoint(args.checkpoint)
     stats = renderer.render()
     save_png(args.output, renderer.image())
+    if args.hdr:
+        import numpy as np
+
+        np.savez_compressed(args.hdr,
+                            mean_radiance=np.asarray(renderer.mean_radiance()),
+                            samples=renderer.accumulated_samples())
+    if args.checkpoint:
+        renderer.save_checkpoint(args.checkpoint)
 
     line = {
         "scene": args.scene,
