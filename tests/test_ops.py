@@ -400,15 +400,15 @@ def test_sky_golden_values():
                         [0.0, 0.5, -0.866]], jnp.float32)
     dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
     golden = {
-        (2.0, 30.0): [[4.5499, 6.6516, 12.4961],
-                      [13.5725, 19.8417, 37.2762],
-                      [5.2752, 7.7118, 14.4881]],
-        (4.0, 85.0): [[1.9296, 2.5878, 3.4628],
-                      [4.4532, 5.9722, 7.9916],
-                      [2.3524, 3.1548, 4.2216]],
-        (8.0, 60.0): [[11.6707, 15.3842, 19.9831],
-                      [13.0035, 17.1411, 22.2653],
-                      [9.8313, 12.9595, 16.8337]],
+        (2.0, 30.0): [[4.651, 6.7774, 12.6885],
+                      [23.6345, 19.8623, 19.5869],
+                      [4.8146, 8.1141, 15.2007]],
+        (4.0, 85.0): [[2.0967, 2.7943, 3.7173],
+                      [9.0175, 5.8964, 2.71],
+                      [2.8577, 3.4136, 3.655]],
+        (8.0, 60.0): [[10.9101, 14.3874, 18.6124],
+                      [22.1636, 14.3528, 9.5595],
+                      [11.0146, 11.9915, 11.4864]],
     }
     for (t, z), want in golden.items():
         sky = to_sky_state(SkyParams(turbidity=t, zenith_degrees=z))
@@ -434,3 +434,16 @@ def test_sky_turbidity_flattens_gradient():
         assert (h > 0).all() and (zz > 0).all(), t
         ratios.append(float(h.sum() / zz.sum()))
     assert ratios[0] > ratios[1] > ratios[2] > ratios[3], ratios
+
+
+def test_sky_chromaticity_varies_across_sky():
+    """The fitted per-channel parameters must reproduce Preetham's spatial
+    chromaticity: deep blue zenith, warm bright horizon (the fallback
+    shared-distribution mapping has constant chromaticity)."""
+    sky = to_sky_state(SkyParams(turbidity=3.0, zenith_degrees=60.0))
+    zen = np.asarray(sky_radiance(
+        jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), sky))[0]
+    hor = np.asarray(sky_radiance(
+        jnp.asarray([[0.9999, 0.0141, 0.0]], jnp.float32), sky))[0]
+    assert zen[2] / zen[0] > 1.5  # zenith is blue-dominant
+    assert hor[2] / hor[0] < 1.1  # horizon is warm/neutral

@@ -41,7 +41,8 @@ import numpy as np
 
 from .angle import Angle
 
-# Preetham luminance (Y) Perez coefficients, linear in turbidity T.
+# Preetham Perez coefficients (A..E), linear in turbidity T, for the
+# luminance (Y) and CIE chromaticity (x, y) distributions.
 _PEREZ_Y = np.array(
     [
         [0.1787, -1.4630],
@@ -49,6 +50,24 @@ _PEREZ_Y = np.array(
         [-0.0227, 5.3251],
         [0.1206, -2.5771],
         [-0.0670, 0.3703],
+    ]
+)
+_PEREZ_X = np.array(
+    [
+        [-0.0193, -0.2592],
+        [-0.0665, 0.0008],
+        [-0.0004, 0.2125],
+        [-0.0641, -0.8989],
+        [-0.0033, 0.0452],
+    ]
+)
+_PEREZ_YC = np.array(
+    [
+        [-0.0167, -0.2608],
+        [-0.0950, 0.0092],
+        [-0.0079, 0.2102],
+        [-0.0441, -1.6537],
+        [-0.0109, 0.0529],
     ]
 )
 
@@ -128,11 +147,93 @@ def _perez_hw_form(cos_theta: float, gamma: float, a, b, c, d, e) -> float:
     )
 
 
+def _perez(coeffs: np.ndarray, t: float, cos_theta, gamma):
+    """Vectorized Perez distribution F(theta, gamma) for one channel."""
+    a, b, c, d, e = (coeffs[:, 0] * t + coeffs[:, 1]).tolist()
+    ct = np.maximum(np.asarray(cos_theta, dtype=np.float64), 1e-2)
+    g = np.asarray(gamma, dtype=np.float64)
+    return (1.0 + a * np.exp(b / ct)) * (
+        1.0 + c * np.exp(d * g) + e * np.cos(g) ** 2
+    )
+
+
+def _preetham_rgb(cos_theta, gamma, t: float, ts: float) -> np.ndarray:
+    """Full Preetham model: absolute Yxy at (theta, gamma) -> linear sRGB.
+
+    cos_theta/gamma are arrays of view angles; ts is the sun zenith angle.
+    """
+    chi = (4.0 / 9.0 - t / 120.0) * (math.pi - 2.0 * ts)
+    y_zenith = max(1e-4, (4.0453 * t - 4.9710) * math.tan(chi) - 0.2155 * t + 2.4192)
+    t_vec = np.array([t * t, t, 1.0])
+    s_vec = np.array([ts**3, ts**2, ts, 1.0])
+    x_zenith = float(t_vec @ _ZENITH_X @ s_vec)
+    yc_zenith = float(t_vec @ _ZENITH_Y @ s_vec)
+
+    def dist(coeffs, zenith_value):
+        return zenith_value * _perez(coeffs, t, cos_theta, gamma) / _perez(
+            coeffs, t, 1.0, ts
+        )
+
+    big_y = dist(_PEREZ_Y, y_zenith)
+    x = dist(_PEREZ_X, x_zenith)
+    yc = dist(_PEREZ_YC, yc_zenith)
+    yc = np.maximum(yc, 1e-4)
+    big_x = x / yc * big_y
+    big_z = (1.0 - x - yc) / yc * big_y
+    rgb = np.stack([big_x, big_y, big_z], axis=-1) @ _XYZ_TO_SRGB.T
+    return np.maximum(rgb, 1e-5)
+
+
+def _fit_hw_params(cos_theta, gamma, target, x0) -> np.ndarray | None:
+    """Least-squares fit of the 9 HW-form parameters to one channel's
+    sampled radiance (target pre-divided by its scale). Returns None when
+    scipy is unavailable or the fit fails to improve on the init."""
+    try:
+        from scipy.optimize import least_squares
+    except ImportError:
+        return None
+
+    ct = np.asarray(cos_theta)
+    g = np.asarray(gamma)
+    cg = np.cos(g)
+    w = 1.0 / (target + 0.05 * target.max())
+
+    def model(p):
+        mie_base = np.maximum(1.0 + p[8] * p[8] - 2.0 * p[8] * cg, 1e-4)
+        mie = (1.0 + cg**2) / (mie_base * np.sqrt(mie_base))
+        lhs = 1.0 + p[0] * np.exp(p[1] / (ct + 0.01))
+        rhs = (p[2] + p[3] * np.exp(p[4] * g) + p[5] * cg**2
+               + p[6] * mie + p[7] * np.sqrt(ct))
+        return lhs * rhs
+
+    def resid(p):
+        return (model(p) - target) * w
+
+    lo = [-5.0, -8.0, 0.0, -5.0, -20.0, -5.0, 0.0, -5.0, 0.0]
+    hi = [5.0, -1e-3, 5.0, 20.0, -1e-3, 5.0, 10.0, 5.0, 0.95]
+    x0 = np.clip(x0, lo, hi)
+    try:
+        res = least_squares(resid, x0, bounds=(lo, hi), max_nfev=200)
+    except Exception:
+        return None
+    if not np.isfinite(res.x).all():
+        return None
+    if np.mean(resid(res.x) ** 2) > 0.995 * np.mean(resid(x0) ** 2):
+        return None  # no real improvement; keep the analytic mapping
+    return res.x
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
     """Compute the device SkyState (reference mod.rs:567-595).
 
     The sun direction convention matches mod.rs:573-579:
     [sin(zenith) cos(azimuth), cos(zenith), sin(zenith) sin(azimuth)].
+    Results are cached per parameter bundle (the per-channel fit costs
+    ~70 ms; interactive editing revisits values).
     """
     azimuth = Angle.degrees(sky.azimuth_degrees).as_radians()
     zenith = Angle.degrees(sky.zenith_degrees).as_radians()
@@ -176,18 +277,77 @@ def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
     # input; Hosek-Wilkie's dataset does — approximate it as a small
     # per-channel brightening from ground bounce).
     albedo = np.asarray(sky.albedo, dtype=np.float64)
-    rgb_zenith = rgb_zenith * (1.0 + 0.15 * albedo)
 
-    # Normalize so that evaluating the HW-form distribution at the zenith
-    # (theta=0, gamma=ts) returns exactly rgb_zenith.
+    # Fallback mapping: luminance distribution shared by all channels,
+    # chromaticity baked into the per-channel radiance scale.
     f_zenith = _perez_hw_form(1.0, ts, a, b, c, d, e)
-    radiances = exposure_scale * rgb_zenith / max(f_zenith, 1e-6)
-
+    radiances = (
+        exposure_scale * rgb_zenith * (1.0 + 0.15 * albedo)
+        / max(f_zenith, 1e-6)
+    )
     params_one = np.array([a, b, 1.0, c, d, e, 0.0, 0.0, 0.8])
     params = np.tile(params_one, (3, 1))
+
+    # Preferred: fit the 9 HW-form parameters per RGB channel to the full
+    # Preetham chromaticity surfaces (blue zenith, warm horizon, sun glow)
+    # sampled over the hemisphere. Falls back to the shared-distribution
+    # mapping above when scipy is missing or a channel fit doesn't improve.
+    fitted = _fit_channels(t, ts, sun_direction)
+    if fitted is not None:
+        params_f, scales_f = fitted
+        params = params_f
+        radiances = exposure_scale * scales_f * (1.0 + 0.15 * albedo)
 
     return SkyState(
         params=jnp.asarray(params, dtype=jnp.float32),
         radiances=jnp.asarray(radiances, dtype=jnp.float32),
         sun_direction=jnp.asarray(sun_direction, dtype=jnp.float32),
     )
+
+
+def _fit_channels(t: float, ts: float, sun_direction: np.ndarray):
+    """Sample the full Preetham RGB sky and fit per-channel HW params.
+
+    Returns (params [3, 9], scales [3]) or None when fitting isn't
+    possible/profitable for all three channels.
+    """
+    # Deterministic hemisphere sampling: a theta x azimuth grid plus a
+    # dense ring around the sun for the circumsolar glow.
+    thetas = np.linspace(0.02, 1.53, 14)
+    azis = np.linspace(0.0, 2.0 * math.pi, 20, endpoint=False)
+    tg, ag = np.meshgrid(thetas, azis, indexing="ij")
+    dirs = np.stack([
+        np.sin(tg) * np.cos(ag), np.cos(tg), np.sin(tg) * np.sin(ag)
+    ], axis=-1).reshape(-1, 3)
+    # sun-centered ring samples
+    ring_gamma = np.array([0.02, 0.05, 0.1, 0.2, 0.35])
+    sun = sun_direction / np.linalg.norm(sun_direction)
+    ortho = np.cross(sun, [0.0, 1.0, 0.0])
+    if np.linalg.norm(ortho) < 1e-6:
+        ortho = np.cross(sun, [1.0, 0.0, 0.0])
+    ortho /= np.linalg.norm(ortho)
+    for g in ring_gamma:
+        for frac in (0.0, 0.5):
+            axis = ortho if frac == 0.0 else np.cross(sun, ortho)
+            p = math.cos(g) * sun + math.sin(g) * axis
+            if p[1] > 0.01:
+                dirs = np.concatenate([dirs, p[None, :]], axis=0)
+
+    cos_theta = np.clip(dirs[:, 1], 1e-3, 1.0)
+    gamma = np.arccos(np.clip(dirs @ sun, -1.0, 1.0))
+    target_rgb = _preetham_rgb(cos_theta, gamma, t, ts)
+
+    a, b, c, d, e = (_PEREZ_Y[:, 0] * t + _PEREZ_Y[:, 1]).tolist()
+    x0 = np.array([a, b, 1.0, c, d, e, 0.0, 0.0, 0.3])
+    params = np.zeros((3, 9))
+    scales = np.zeros(3)
+    for ch in range(3):
+        scale = float(target_rgb[:, ch].mean())
+        if not (scale > 0):
+            return None
+        fit = _fit_hw_params(cos_theta, gamma, target_rgb[:, ch] / scale, x0)
+        if fit is None:
+            return None
+        params[ch] = fit
+        scales[ch] = scale
+    return params, scales
