@@ -393,27 +393,31 @@ def test_scatter_non_emissive_does_not_terminate():
 
 
 def test_sky_golden_values():
-    """Regression pin: the Preetham-derived coefficients and the HW-form
-    evaluator must not drift silently (values captured at framework v0.1).
-    Directions: zenith, near-horizon (+x+z), and 60-deg-up (-z)."""
+    """Regression pin: the fitted coefficients and the HW-form evaluator
+    must not drift silently. Values are scipy-least-squares outputs
+    (captured with scipy 1.17) so the tolerance is loose enough to absorb
+    optimizer-stopping-point drift across scipy versions while still
+    catching model changes. Directions: zenith, near-horizon (+x+z), and
+    60-deg-up (-z)."""
+    pytest.importorskip("scipy")
     dirs = jnp.asarray([[0.0, 1.0, 0.0], [0.7071, 0.0002, 0.7071],
                         [0.0, 0.5, -0.866]], jnp.float32)
     dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
     golden = {
-        (2.0, 30.0): [[4.651, 6.7774, 12.6885],
-                      [23.6345, 19.8623, 19.5869],
-                      [4.8146, 8.1141, 15.2007]],
-        (4.0, 85.0): [[2.0967, 2.7943, 3.7173],
-                      [9.0175, 5.8964, 2.71],
-                      [2.8577, 3.4136, 3.655]],
-        (8.0, 60.0): [[10.9101, 14.3874, 18.6124],
-                      [22.1636, 14.3528, 9.5595],
-                      [11.0146, 11.9915, 11.4864]],
+        (2.0, 30.0): [[4.649099826812744, 6.775300025939941, 12.688599586486816],
+                      [23.671199798583984, 19.857999801635742, 19.89620018005371],
+                      [4.81279993057251, 8.111800193786621, 15.23859977722168]],
+        (4.0, 85.0): [[2.101099967956543, 2.7923998832702637, 3.71589994430542],
+                      [9.030099868774414, 5.8850998878479, 2.2279000282287598],
+                      [2.856300115585327, 3.418299913406372, 3.639899969100952]],
+        (8.0, 60.0): [[10.916399955749512, 14.384599685668945, 18.60759925842285],
+                      [22.184900283813477, 14.343799591064453, 9.591400146484375],
+                      [11.007599830627441, 11.991900444030762, 11.501700401306152]],
     }
     for (t, z), want in golden.items():
         sky = to_sky_state(SkyParams(turbidity=t, zenith_degrees=z))
         rad = np.asarray(sky_radiance(dirs, sky))
-        np.testing.assert_allclose(rad, np.asarray(want), rtol=2e-3)
+        np.testing.assert_allclose(rad, np.asarray(want), rtol=0.05)
 
 
 def test_sky_turbidity_flattens_gradient():
@@ -440,6 +444,7 @@ def test_sky_chromaticity_varies_across_sky():
     """The fitted per-channel parameters must reproduce Preetham's spatial
     chromaticity: deep blue zenith, warm bright horizon (the fallback
     shared-distribution mapping has constant chromaticity)."""
+    pytest.importorskip("scipy")
     sky = to_sky_state(SkyParams(turbidity=3.0, zenith_degrees=60.0))
     zen = np.asarray(sky_radiance(
         jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), sky))[0]
@@ -447,3 +452,21 @@ def test_sky_chromaticity_varies_across_sky():
         jnp.asarray([[0.9999, 0.0141, 0.0]], jnp.float32), sky))[0]
     assert zen[2] / zen[0] > 1.5  # zenith is blue-dominant
     assert hor[2] / hor[0] < 1.1  # horizon is warm/neutral
+
+
+def test_sky_accepts_list_albedo_and_caches_azimuth_free():
+    """to_sky_state must accept unhashable albedo containers (normalized
+    to tuples before the cache) and must not refit per azimuth."""
+    import time
+
+    from weekend_raytracer_tpu.models.sky import _fit_channels
+
+    s1 = to_sky_state(SkyParams(albedo=[0.5, 0.5, 0.5]))  # list: must not raise
+    assert s1.params.shape == (3, 9)
+    # azimuth sweep shares one (t, ts) fit
+    before = _fit_channels.cache_info().misses
+    for az in (10.0, 20.0, 30.0, 40.0):
+        to_sky_state(SkyParams(azimuth_degrees=az, turbidity=6.5,
+                               zenith_degrees=33.0))
+    after = _fit_channels.cache_info()
+    assert after.misses - before <= 1  # one fit for the whole sweep

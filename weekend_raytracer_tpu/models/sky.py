@@ -10,10 +10,21 @@ ops/sky_radiance.py) so the device state has the same shape and meaning:
 
 Coefficient source: the reference uses the external ``hw_skymodel`` crate,
 which embeds the fitted Hosek-Wilkie 2012 dataset (~3.6k values, not
-redistributable here and unavailable offline). This module instead computes
-the nine per-channel parameters analytically from the Preetham 1999 model
-("A Practical Analytic Model for Daylight"), whose coefficients are closed
-form in turbidity, mapped into the Hosek-Wilkie parameter slots:
+redistributable here and unavailable offline). This module instead derives
+the nine per-channel parameters from the Preetham 1999 model ("A Practical
+Analytic Model for Daylight"), whose coefficients are closed form in
+turbidity, via a two-tier scheme:
+
+1. **Preferred (scipy present):** sample the full Preetham model (Yxy ->
+   linear sRGB) over the (theta, gamma) manifold and least-squares fit all
+   nine HW-form parameters *per RGB channel* — spatially varying
+   chromaticity (blue zenith, warm horizon, sun glow, golden sunsets).
+   The fit depends only on (turbidity, sun zenith) and is cached.
+2. **Fallback (no scipy, or a channel fit fails to improve):** map the
+   luminance Perez coefficients into the HW slots (p0..p5 = A, B, 1, C, D,
+   E; p6 = p7 = 0) for all channels and bake the zenith chromaticity into
+   the per-channel radiance scales — correct luminance distribution,
+   spatially constant chromaticity.
 
     Preetham/Perez:  F(theta, gamma) = (1 + A e^{B/cos theta})
                                        (1 + C e^{D gamma} + E cos^2 gamma)
@@ -21,17 +32,13 @@ form in turbidity, mapped into the Hosek-Wilkie parameter slots:
                      (p2 + p3 e^{p4 gamma} + p5 cos^2 gamma
                       + p6 mieM(p8) + p7 sqrt(cos theta))
 
-so p0..p5 = (A, B, 1, C, D, E) of the luminance channel, p6 = p7 = 0, and
-the per-RGB radiance scales come from the Preetham zenith chromaticity
-(x_z, y_z, Y_z) converted to linear sRGB. Chromaticity is spatially constant
-(a documented approximation); the angular luminance distribution (horizon
-brightening, circumsolar glow via C e^{D gamma}) is Preetham-exact. Users
-with the fitted Hosek-Wilkie dataset can inject exact coefficients via
-``SkyState.from_raw``.
+Users with the fitted Hosek-Wilkie dataset can inject exact coefficients
+via ``SkyState.from_raw``.
 """
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Tuple
 
@@ -223,18 +230,21 @@ def _fit_hw_params(cos_theta, gamma, target, x0) -> np.ndarray | None:
     return res.x
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=64)
 def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
     """Compute the device SkyState (reference mod.rs:567-595).
 
     The sun direction convention matches mod.rs:573-579:
     [sin(zenith) cos(azimuth), cos(zenith), sin(zenith) sin(azimuth)].
-    Results are cached per parameter bundle (the per-channel fit costs
-    ~70 ms; interactive editing revisits values).
+    The expensive per-channel fit is cached on (turbidity, sun zenith)
+    only — it is azimuth-invariant — so interactive azimuth sweeps are
+    free. Albedo is normalized to a tuple for hashability.
     """
+    sky = dataclasses.replace(sky, albedo=tuple(float(a) for a in sky.albedo))
+    return _to_sky_state_cached(sky, float(exposure_scale))
+
+
+@functools.lru_cache(maxsize=64)
+def _to_sky_state_cached(sky: SkyParams, exposure_scale: float) -> SkyState:
     azimuth = Angle.degrees(sky.azimuth_degrees).as_radians()
     zenith = Angle.degrees(sky.zenith_degrees).as_radians()
     # The Preetham luminance distribution degenerates below T ~ 1.7 (the
@@ -255,23 +265,10 @@ def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
     # Perez luminance coefficients at this turbidity.
     a, b, c, d, e = (_PEREZ_Y[:, 0] * t + _PEREZ_Y[:, 1]).tolist()
 
-    # Zenith luminance (Preetham eq. A.2), kcd/m^2.
+    # Zenith radiance via the shared full-model helper (Preetham eq.
+    # A.2-A.4 + Yxy -> sRGB live in one place: _preetham_rgb).
     ts = zenith  # sun zenith angle
-    chi = (4.0 / 9.0 - t / 120.0) * (math.pi - 2.0 * ts)
-    y_z = max(1e-4, (4.0453 * t - 4.9710) * math.tan(chi) - 0.2155 * t + 2.4192)
-
-    # Zenith chromaticity (Preetham eq. A.3/A.4).
-    t_vec = np.array([t * t, t, 1.0])
-    s_vec = np.array([ts**3, ts**2, ts, 1.0])
-    x_z = float(t_vec @ _ZENITH_X @ s_vec)
-    yy_z = float(t_vec @ _ZENITH_Y @ s_vec)
-
-    # xyY -> XYZ -> linear sRGB zenith radiance.
-    big_y = y_z
-    big_x = x_z / yy_z * big_y
-    big_z = (1.0 - x_z - yy_z) / yy_z * big_y
-    rgb_zenith = _XYZ_TO_SRGB @ np.array([big_x, big_y, big_z])
-    rgb_zenith = np.maximum(rgb_zenith, 1e-4)
+    rgb_zenith = _preetham_rgb(np.array([1.0]), np.array([ts]), t, ts)[0]
 
     # First-order ground-albedo lift (the Preetham model has no albedo
     # input; Hosek-Wilkie's dataset does — approximate it as a small
@@ -290,13 +287,14 @@ def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
 
     # Preferred: fit the 9 HW-form parameters per RGB channel to the full
     # Preetham chromaticity surfaces (blue zenith, warm horizon, sun glow)
-    # sampled over the hemisphere. Falls back to the shared-distribution
-    # mapping above when scipy is missing or a channel fit doesn't improve.
-    fitted = _fit_channels(t, ts, sun_direction)
+    # sampled over the (theta, gamma) manifold. Falls back to the shared-
+    # distribution mapping above when scipy is missing or a channel fit
+    # doesn't improve.
+    fitted = _fit_channels(t, ts)
     if fitted is not None:
         params_f, scales_f = fitted
-        params = params_f
-        radiances = exposure_scale * scales_f * (1.0 + 0.15 * albedo)
+        params = np.asarray(params_f)
+        radiances = exposure_scale * np.asarray(scales_f) * (1.0 + 0.15 * albedo)
 
     return SkyState(
         params=jnp.asarray(params, dtype=jnp.float32),
@@ -305,36 +303,36 @@ def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
     )
 
 
-def _fit_channels(t: float, ts: float, sun_direction: np.ndarray):
+@functools.lru_cache(maxsize=64)
+def _fit_channels(t: float, ts: float):
     """Sample the full Preetham RGB sky and fit per-channel HW params.
 
-    Returns (params [3, 9], scales [3]) or None when fitting isn't
-    possible/profitable for all three channels.
+    Returns (params [3, 9] tuple-of-tuples, scales [3] tuple) or None when
+    fitting isn't possible/profitable for all three channels. The sky
+    radiance depends only on (theta from zenith, gamma from sun), so the
+    fit is azimuth-invariant and cached on (turbidity, sun zenith) —
+    interactive azimuth sweeps cost nothing.
     """
-    # Deterministic hemisphere sampling: a theta x azimuth grid plus a
-    # dense ring around the sun for the circumsolar glow.
-    thetas = np.linspace(0.02, 1.53, 14)
-    azis = np.linspace(0.0, 2.0 * math.pi, 20, endpoint=False)
-    tg, ag = np.meshgrid(thetas, azis, indexing="ij")
-    dirs = np.stack([
-        np.sin(tg) * np.cos(ag), np.cos(tg), np.sin(tg) * np.sin(ag)
-    ], axis=-1).reshape(-1, 3)
-    # sun-centered ring samples
-    ring_gamma = np.array([0.02, 0.05, 0.1, 0.2, 0.35])
-    sun = sun_direction / np.linalg.norm(sun_direction)
-    ortho = np.cross(sun, [0.0, 1.0, 0.0])
-    if np.linalg.norm(ortho) < 1e-6:
-        ortho = np.cross(sun, [1.0, 0.0, 0.0])
-    ortho /= np.linalg.norm(ortho)
-    for g in ring_gamma:
-        for frac in (0.0, 0.5):
-            axis = ortho if frac == 0.0 else np.cross(sun, ortho)
-            p = math.cos(g) * sun + math.sin(g) * axis
-            if p[1] > 0.01:
-                dirs = np.concatenate([dirs, p[None, :]], axis=0)
-
-    cos_theta = np.clip(dirs[:, 1], 1e-3, 1.0)
-    gamma = np.arccos(np.clip(dirs @ sun, -1.0, 1.0))
+    # Deterministic sampling of the reachable (theta, gamma) manifold:
+    # for a view angle theta and sun zenith ts, gamma spans
+    # [|theta - ts|, theta + ts]. Sample each theta at several gammas,
+    # plus a dense circumsolar set (small gammas at theta ~ ts).
+    thetas = np.linspace(0.02, 1.53, 16)
+    th_list, ga_list = [], []
+    for th in thetas:
+        g_lo = abs(th - ts) + 1e-3
+        g_hi = min(th + ts, math.pi) - 1e-3
+        if g_hi <= g_lo:
+            continue
+        for frac in (0.0, 0.2, 0.45, 0.7, 1.0):
+            th_list.append(th)
+            ga_list.append(g_lo + frac * (g_hi - g_lo))
+    for g in (0.02, 0.05, 0.1, 0.2, 0.35):
+        th_list.append(min(ts + 0.5 * g, 1.53))
+        ga_list.append(g)
+    theta = np.asarray(th_list)
+    gamma = np.asarray(ga_list)
+    cos_theta = np.clip(np.cos(theta), 1e-3, 1.0)
     target_rgb = _preetham_rgb(cos_theta, gamma, t, ts)
 
     a, b, c, d, e = (_PEREZ_Y[:, 0] * t + _PEREZ_Y[:, 1]).tolist()
@@ -350,4 +348,5 @@ def _fit_channels(t: float, ts: float, sun_direction: np.ndarray):
             return None
         params[ch] = fit
         scales[ch] = scale
-    return params, scales
+    # tuples: lru_cache-stored values should be immutable
+    return tuple(map(tuple, params)), tuple(scales)
