@@ -126,3 +126,19 @@ def test_pallas_10k_scene_interpret():
     tb = np.asarray(to_srgb_u8(b.reshape(h, w, 3))).astype(np.float32) / 255
     rmse = float(np.sqrt(((ta - tb) ** 2).mean()))
     assert rmse < 0.02, rmse
+
+
+def test_super_bounds_padding_is_degenerate_far_box():
+    """Pad chunks must be zero-extent far boxes (lo == hi == 1e9), never
+    inverted boxes: the kernel slab test min/max-normalizes an inverted
+    box into an infinite one that always passes, making the sweep read
+    sphere attributes out of bounds on real TPU SMEM (review finding)."""
+    attrs = _attrs(330)  # 330/32 -> 11 chunks, padded to 16 for factor 8
+    scene = build_chunks(attrs, 32)
+    padded, supers = super_bounds(scene, 8)
+    nc_real = scene.bounds[0].shape[0]
+    for lo_arr, hi_arr in zip(padded[:3], padded[3:]):
+        lo_pad = np.asarray(lo_arr)[nc_real:]
+        hi_pad = np.asarray(hi_arr)[nc_real:]
+        assert (lo_pad == hi_pad).all()
+        assert (lo_pad >= 1e8).all()

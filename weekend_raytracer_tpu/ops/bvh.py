@@ -73,8 +73,10 @@ def order_front_to_back(scene: ChunkedScene, eye: jnp.ndarray,
     Closest-hit sweeps visit chunks in array order; putting near chunks
     first tightens each lane's best-t early, so later (farther) chunk
     bounds fail the `t_near < best_t` cull. Pure permutation — results are
-    identical, only the amount of skipped work changes. Costs one small
-    gather per frame (runs under jit in the render step).
+    identical, only the amount of skipped work changes. Runs under jit in
+    the render step (as does the whole chunk build: a sort + gathers over
+    the sphere arrays, sub-millisecond even at 10k spheres and so left in
+    the per-frame trace rather than cached across the jit boundary).
     """
     lox, loy, loz, hix, hiy, hiz = scene.bounds
     cx = 0.5 * (lox + hix)
@@ -99,10 +101,16 @@ def super_bounds(scene: ChunkedScene, super_factor: int):
     """
     nc = scene.bounds[0].shape[0]
     pad = (-nc) % super_factor
+    # Pad with a ZERO-EXTENT box at a far point (lo == hi == +1e9), NOT an
+    # inverted box: the kernel's slab test sorts each axis pair with
+    # min/max, which would normalize an inverted box into an infinite one
+    # that always passes — and its sweep would then read sphere attributes
+    # past the end of the arrays. A far degenerate box fails the
+    # `t_near < best_t` check for every ray (best_t <= MAX_T << 1e9/|d|).
     far = 1.0e9
-    los = [jnp.concatenate([b, jnp.full((pad,), far)]) for b in scene.bounds[:3]]
-    his = [jnp.concatenate([b, jnp.full((pad,), -far)]) for b in scene.bounds[3:]]
-    padded = tuple(los + his)
+    padded = tuple(
+        jnp.concatenate([b, jnp.full((pad,), far)]) for b in scene.bounds
+    )
     nsc = (nc + pad) // super_factor
     g = lambda a: a.reshape(nsc, super_factor)
     supers = tuple(

@@ -15,8 +15,12 @@ SURVEY.md §2 — re-architected for the VPU instead of a SIMT rasterizer:
  - the bounce loop is a while_loop with a whole-tile liveness early-exit
    (the reference's per-thread `break` on miss, wgsl:167, becomes a
    per-tile exit — profitable because paths in a tile terminate together);
- - RNG is the same jenkins+PCG u32 recurrence as ops/rng.py, bit-identical
-   to the XLA wavefront path (verified in tests);
+ - RNG is the same jenkins+PCG u32 recurrence as ops/rng.py — the
+   primitives are bit-identical to the XLA wavefront path (verified in
+   tests). Note the *streams* align only at spp=1: the whole-tile bounce
+   early-exit skips draws that the XLA path's fixed-length scan always
+   makes, so later samples' draw positions differ. Cross-backend image
+   comparisons are therefore statistical, never bitwise (CLAUDE.md);
  - materials are evaluated branchlessly and one-hot selected (the WGSL
    `switch`, wgsl:174-202).
 
@@ -35,21 +39,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...models import materials as _mat
 from ...models.camera import CameraBasis
 from ...models.sky import SkyState
+from ..intersect import MAX_T, MIN_T
 from ..tracer import Scene
 
-MIN_T = 1.0e-3
-MAX_T = 1.0e3
 EPS = 1.0e-3
 PI = 3.14159265358979
 FRAC_1_PI = 1.0 / PI
 TWO_PI = 2.0 * PI
 
-# Material model ids (models/materials.py)
-_LAMBERTIAN, _METAL, _DIELECTRIC, _CHECKERBOARD = 0.0, 1.0, 2.0, 3.0
-_EMISSIVE = 4.0
-_PINK = (0.9921, 0.24705, 0.57254)
+# Material model ids and the error color, derived from the single source
+# of truth so a renumbering can't silently desynchronize the kernel.
+_LAMBERTIAN = float(_mat.LAMBERTIAN)
+_METAL = float(_mat.METAL)
+_DIELECTRIC = float(_mat.DIELECTRIC)
+_CHECKERBOARD = float(_mat.CHECKERBOARD)
+_EMISSIVE = float(_mat.EMISSIVE)
+_PINK = _mat.ERROR_PINK
 
 
 def acos_approx(x):
@@ -294,8 +302,19 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                 res = jax.lax.fori_loop(0, n_super, super_body, init)
             elif culling:
                 res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-            else:
+            elif n_spheres <= 64:
                 res = sweep_span_tree(jnp.int32(0), n_spheres, init)
+            else:
+                # Unculled big scene (chunk_size=0 override): a rolled loop
+                # over fixed-size spans — python-unrolling thousands of
+                # sphere evaluations would explode the trace/compile.
+                span = 32
+                pad_n = -(-n_spheres // span) * span  # guarded by wrapper pad
+
+                def span_body(i, carry):
+                    return sweep_span_tree(i * span, span, carry)
+
+                res = jax.lax.fori_loop(0, pad_n // span, span_body, init)
             bt, bidx = res[0], res[1]
             hit = bt < MAX_T
 
@@ -622,6 +641,17 @@ def render_image_pallas(
     else:
         chunk_arrays = (z1,) * 6
         n_chunks = 0
+        if n_spheres > 64:
+            # the kernel's rolled unculled sweep reads 32-sphere spans;
+            # pad with duplicates of the last sphere (harmless for
+            # closest-hit) so the final span stays in bounds
+            pad_s = (-n_spheres) % 32
+            if pad_s:
+                s_attrs = tuple(
+                    jnp.concatenate([a, jnp.broadcast_to(a[-1], (pad_s,))])
+                    for a in s_attrs
+                )
+                n_spheres = int(s_attrs[0].shape[0])
 
     cx_, cy_, cz_, rad_ = s_attrs[0], s_attrs[1], s_attrs[2], s_attrs[3]
     kq = cx_ * cx_ + cy_ * cy_ + cz_ * cz_ - rad_ * rad_

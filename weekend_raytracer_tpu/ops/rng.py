@@ -15,6 +15,7 @@ TPU lowers poorly.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _INV_2_24 = float(1.0 / (1 << 24))
@@ -51,8 +52,6 @@ def next_state(state: jnp.ndarray) -> jnp.ndarray:
 
 def next_float(state: jnp.ndarray):
     """Advance and return (new_state, uniform f32 in [0, 1))."""
-    import jax
-
     state = next_state(state)
     # Top 24 bits; bitcast to int32 (sign bit is clear after >> 8) because
     # Mosaic has no uint32->f32 conversion.
