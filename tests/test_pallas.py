@@ -166,3 +166,63 @@ def test_emissive_in_kernel():
     # quasi-independent, so allow Monte-Carlo-level deviation.
     rmse = float(np.sqrt(((ta - tb)[body.reshape(h, w)] ** 2).mean()))
     assert rmse < 0.08, rmse
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_random_scene_fuzz_equivalence(seed):
+    """Randomized small scenes (all material kinds, random geometry) must
+    agree statistically between the fused kernel and the XLA path."""
+    rs = np.random.RandomState(seed)
+    materials = [
+        Material.checkerboard(tuple(rs.rand(3)), tuple(rs.rand(3))),
+        Material.dielectric(1.3 + 0.4 * rs.rand()),
+        Material.emissive(tuple(0.5 + 0.5 * rs.rand(3)), intensity=3.0),
+    ]
+    spheres = [Sphere((0.0, -200.5, 0.0), 200.0, 0)]
+    for i in range(40):
+        materials.append(
+            Material.metal(tuple(rs.rand(3)), fuzz=0.5 * rs.rand())
+            if rs.rand() < 0.3 else Material.lambertian(tuple(rs.rand(3)))
+        )
+        spheres.append(Sphere(
+            (float(rs.uniform(-6, 6)), float(rs.uniform(0.2, 1.0)),
+             float(rs.uniform(-6, 6))),
+            float(rs.uniform(0.15, 0.6)), 3 + i))
+    spheres.append(Sphere((0.0, 4.0, 0.0), 1.0, 2))  # the light
+    desc = SceneDesc(materials=materials, spheres=spheres)
+
+    from weekend_raytracer_tpu.models.camera import Camera
+
+    cam = Camera.look_at((0, 2.5, 9.0), (0, 0.5, 0), vfov_degrees=45.0,
+                         aperture=0.05, focus_distance=9.0)
+    w, h = 48, 32
+    scene = desc.build()
+    basis = CameraBasis.create(cam, (w, h))
+    sky = to_sky_state(SkyParams(turbidity=3.0 + 4.0 * rs.rand(),
+                                 zenith_degrees=float(rs.uniform(20, 80))))
+    a = _run(render_image, scene, sky, basis, w, h, frames=8, spp=4, bounces=6)
+    b = _run(render_image_pallas, scene, sky, basis, w, h, frames=8, spp=4,
+             bounces=6)
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.03
+    diff = np.abs(a - b).max(axis=-1)
+    assert (diff < 0.5).mean() > 0.9  # body agrees; silhouettes may flip
+
+
+@pytest.mark.parametrize("tsub,block_w", [(8, 32), (16, 64)])
+def test_tiling_parameter_smoke(tsub, block_w):
+    """Non-default tile shapes must render correctly (lane<->pixel mapping
+    and padding are tiling-dependent)."""
+    w, h = 40, 28
+    scene, sky, basis = _setup("three", w, h)
+    out = render_image_pallas(
+        jnp.zeros((w * h, 3), jnp.float32), jnp.uint32(0), jnp.bool_(True),
+        scene, sky, basis, width=w, height=h, spp=1, num_bounces=3,
+        tsub=tsub, block_w=block_w,
+    )
+    ref = render_image(
+        jnp.zeros((w * h, 3), jnp.float32), jnp.uint32(0), jnp.bool_(True),
+        scene, sky, basis, width=w, height=h, spp=1, num_bounces=3,
+    )
+    close = np.isclose(np.asarray(out), np.asarray(ref),
+                       rtol=1e-2, atol=1e-3).all(-1)
+    assert close.mean() > 0.97, close.mean()

@@ -103,7 +103,8 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  block_w: int, tiles_x: int, super_factor: int,
                  n_super: int):
     """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
-    (ops/bvh.py): whole-tile bounding-sphere tests skip chunk bodies.
+    (ops/bvh.py): whole-tile AABB slab tests skip chunk bodies (and, for
+    big scenes, whole super-chunks of chunks).
 
     Lanes map to 2D screen blocks of block_h x block_w pixels (not scanline
     runs) so each tile's rays form a narrow cone — the coherence that makes
