@@ -113,3 +113,25 @@ def test_2d_mesh_tile_and_spp(setup):
     out = np.asarray(out)
     assert np.isfinite(out).all()
     assert (out > 0).any()
+
+
+def test_pallas_backend_sharded(setup):
+    """The fused megakernel composes with shard_map: each chip renders a
+    horizontal band with global RNG seeding/camera aiming, reproducing the
+    single-device kernel's image."""
+    w, h, scene, sky, basis = setup
+    mesh = make_mesh(jax.devices()[:4], spp_shards=1)
+    acc = sharded_accumulator(w, h, mesh)
+    out = np.asarray(render_image_sharded(
+        acc, jnp.uint32(0), jnp.bool_(True), scene, sky, basis,
+        width=w, height=h, spp=2, num_bounces=4, mesh=mesh, backend="pallas",
+    ))
+    from weekend_raytracer_tpu.ops.pallas.megakernel import render_image_pallas
+
+    ref = np.asarray(render_image_pallas(
+        jnp.zeros((w * h, 3), jnp.float32), jnp.uint32(0), jnp.bool_(True),
+        scene, sky, basis, width=w, height=h, spp=2, num_bounces=4,
+    ))
+    close = np.isclose(out, ref, rtol=1e-2, atol=1e-3).all(-1)
+    assert close.mean() > 0.97, close.mean()
+    assert abs(out.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.01

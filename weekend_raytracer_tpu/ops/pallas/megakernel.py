@@ -101,7 +101,7 @@ def _dot3(ax, ay, az, bx, by, bz):
 def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  n_spheres: int, tsub: int, chunk_size: int, n_chunks: int,
                  block_w: int, tiles_x: int, super_factor: int,
-                 n_super: int):
+                 n_super: int, full_height: int):
     """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
     (ops/bvh.py): whole-tile AABB slab tests skip chunk bodies (and, for
     big scenes, whole super-chunks of chunks).
@@ -141,6 +141,11 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         t = pl.program_id(0)
         frame = meta_ref[0]  # uint32 scalar
         clear = meta_ref[1] == jnp.uint32(1)
+        # Row offset of this shard within the full image (uint32 scalar;
+        # nonzero under shard_map row sharding). RNG seeding and camera
+        # aiming use GLOBAL coordinates so sharded renders reproduce the
+        # single-device image.
+        row_off = meta_ref[2]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (tsub, 128), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tsub, 128), 1)
@@ -149,12 +154,14 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         ty = t // tiles_x
         x = tx * block_w + (lane & (block_w - 1))
         y = ty * block_h + (lane >> bw_shift)
-        # clamp padded lanes to the image (their output rows are dropped)
+        # clamp padded lanes to the local block (their outputs are dropped)
         x = jnp.minimum(x, width - 1)
         y = jnp.minimum(y, height - 1)
-        pix = y * width + x
+        y_gu = jax.lax.bitcast_convert_type(y, jnp.uint32) + row_off
+        y_g = jax.lax.bitcast_convert_type(y_gu, jnp.int32)
+        pix = y_g * width + x
         xf = x.astype(f32)
-        yf = y.astype(f32)
+        yf = y_g.astype(f32)
 
         state = _jenkins(
             jax.lax.bitcast_convert_type(pix, jnp.uint32) ^ _jenkins(frame)
@@ -171,7 +178,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         sunx, suny, sunz = sky_ref[30], sky_ref[31], sky_ref[32]
 
         inv_w = f32(1.0 / width)
-        inv_h = f32(1.0 / height)
+        inv_h = f32(1.0 / full_height)  # camera aims in full-image space
 
         tot_r = jnp.zeros((tsub, 128), f32)
         tot_g = jnp.zeros((tsub, 128), f32)
@@ -560,7 +567,8 @@ def _is_cpu() -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "tsub",
-                     "chunk_size", "block_w", "super_factor", "interpret"),
+                     "chunk_size", "block_w", "super_factor", "full_height",
+                     "interpret"),
 )
 def render_image_pallas(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -578,6 +586,8 @@ def render_image_pallas(
     chunk_size: int = 32,
     block_w: int = 64,
     super_factor: int = 8,
+    row_offset: jnp.ndarray | int = 0,
+    full_height: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """One progressive frame via the fused megakernel; drop-in for
@@ -585,6 +595,8 @@ def render_image_pallas(
     docstring); use MaterialTable.all_solid to pick the backend."""
     if interpret is None:
         interpret = _is_cpu()
+    if full_height is None:
+        full_height = height
     n = width * height
     tile = tsub * 128
     block_h = tile // block_w
@@ -669,6 +681,7 @@ def render_image_pallas(
     meta = jnp.stack([
         frame.astype(jnp.uint32),
         clear.astype(jnp.uint32),
+        jnp.asarray(row_offset).astype(jnp.uint32),
     ])
 
     # [n, 3] scanline -> padded 2D -> tile-lane order channel planes
@@ -678,7 +691,7 @@ def render_image_pallas(
 
     kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
                           chunk_size, n_chunks, block_w, tiles_x,
-                          super_factor, n_super)
+                          super_factor, n_super, full_height)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,

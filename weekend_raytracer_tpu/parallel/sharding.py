@@ -64,6 +64,7 @@ def render_image_sharded(
     num_bounces: int,
     mesh: Mesh,
     sphere_chunk: int = 512,
+    backend: str = "xla",
 ) -> jnp.ndarray:
     """One progressive frame over the mesh; returns the new accumulator.
 
@@ -71,6 +72,11 @@ def render_image_sharded(
     per pixel added this frame, split evenly across the spp axis. Sample
     batches on different spp shards are decorrelated by folding the shard
     index into the RNG frame seed.
+
+    backend="pallas" runs the fused megakernel per shard (each chip owns a
+    horizontal band of rows; the kernel seeds RNG and aims the camera in
+    global image coordinates via its row_offset input). Requires height
+    divisible by the tile-axis size and solid-material scenes.
     """
     n_tiles = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
@@ -79,17 +85,32 @@ def render_image_sharded(
     assert spp % n_spp == 0, (spp, n_spp)
     block = n_pixels // n_tiles
     local_spp = spp // n_spp
+    if backend == "pallas":
+        assert height % n_tiles == 0, (height, n_tiles)
+    block_rows = height // n_tiles if height % n_tiles == 0 else 0
 
     def shard_fn(accum_blk, frame, clear, scene, sky, basis):
         tile_idx = jax.lax.axis_index(TILE_AXIS)
         spp_idx = jax.lax.axis_index(SPP_AXIS)
-        pixel_idx = tile_idx * block + jnp.arange(block, dtype=jnp.int32)
         # Decorrelate sample shards: injective (frame, shard) -> seed frame.
         seed_frame = frame * jnp.uint32(n_spp) + spp_idx.astype(jnp.uint32)
-        contrib = render_pixels(
-            pixel_idx, seed_frame, scene, sky, basis, width, height,
-            local_spp, num_bounces, sphere_chunk,
-        )
+        if backend == "pallas":
+            from ..ops.pallas.megakernel import render_image_pallas
+
+            contrib = render_image_pallas(
+                jnp.zeros_like(accum_blk), seed_frame, jnp.bool_(True),
+                scene, sky, basis,
+                width=width, height=block_rows, spp=local_spp,
+                num_bounces=num_bounces,
+                row_offset=(tile_idx * block_rows).astype(jnp.uint32),
+                full_height=height,
+            )
+        else:
+            pixel_idx = tile_idx * block + jnp.arange(block, dtype=jnp.int32)
+            contrib = render_pixels(
+                pixel_idx, seed_frame, scene, sky, basis, width, height,
+                local_spp, num_bounces, sphere_chunk,
+            )
         contrib = jax.lax.psum(contrib, SPP_AXIS)
         base = jnp.where(clear, jnp.zeros_like(accum_blk), accum_blk)
         return base + contrib
