@@ -226,3 +226,30 @@ def test_tiling_parameter_smoke(tsub, block_w):
     close = np.isclose(np.asarray(out), np.asarray(ref),
                        rtol=1e-2, atol=1e-3).all(-1)
     assert close.mean() > 0.97, close.mean()
+
+
+def test_megakernel_stats_output():
+    """stats=True returns per-tile instrumentation without changing the
+    image (used by benchmarks/kernel_stats.py for perf analysis)."""
+    import jax.numpy as jnp
+
+    from weekend_raytracer_tpu.models import scenes
+    from weekend_raytracer_tpu.models.camera import CameraBasis
+    from weekend_raytracer_tpu.models.sky import SkyParams, to_sky_state
+    from weekend_raytracer_tpu.ops.pallas.megakernel import render_image_pallas
+
+    w, h = 128, 72
+    scene = scenes.rtiow_final().build()
+    basis = CameraBasis.create(scenes.rtiow_final_camera(), (w, h))
+    sky = to_sky_state(SkyParams())
+    acc = jnp.zeros((w * h, 3), jnp.float32)
+    args = (acc, jnp.uint32(0), jnp.bool_(True), scene, sky, basis)
+    kw = dict(width=w, height=h, spp=2, num_bounces=8)
+    img_stats, st = render_image_pallas(*args, stats=True, **kw)
+    img = render_image_pallas(*args, **kw)
+    np.testing.assert_array_equal(np.asarray(img_stats), np.asarray(img))
+    st = np.asarray(st)
+    assert st.shape[1] == 8
+    assert (st[:, 0] >= 1).all() and (st[:, 0] <= 16).all()  # iters
+    assert (st[:, 1] > 0).all()  # live-lane sums
+    assert (st[:, 2] >= st[:, 0]).all()  # >= 1 chunk per iteration

@@ -174,3 +174,74 @@ def test_checkpoint_viewport_mismatch(tmp_path):
     b = _renderer(size=(16, 10))
     with pytest.raises(ValueError):
         b.load_checkpoint(path)
+
+
+def test_checkpoint_scene_mismatch(tmp_path):
+    """A checkpoint saved for one scene must refuse to resume into a
+    renderer with different scene/camera/sky state (VERDICT r1 #6)."""
+    from weekend_raytracer_tpu import CheckpointMismatchError
+
+    a = _renderer()
+    a.render_frame()
+    path = str(tmp_path / "ckpt.npz")
+    a.save_checkpoint(path)
+
+    params = RenderParams(
+        camera=scenes.rtiow_final_camera(),
+        viewport_size=(32, 18),
+        sampling=SamplingParams(max_samples_per_pixel=8,
+                                num_samples_per_pixel=2, num_bounces=4),
+    )
+    b = Renderer(scenes.rtiow_final(), params)  # different scene + camera
+    with pytest.raises(CheckpointMismatchError):
+        b.load_checkpoint(path)
+
+    # different bounce depth on the same scene also refuses
+    c_params = dataclasses.replace(
+        a.params, sampling=dataclasses.replace(a.params.sampling,
+                                               num_bounces=6))
+    c = Renderer(scenes.three_spheres(), c_params)
+    with pytest.raises(CheckpointMismatchError):
+        c.load_checkpoint(path)
+
+
+def test_checkpoint_extends_spp(tmp_path):
+    """Raising max spp on resume is supported (extends the render; sampling
+    counts are deliberately outside the fingerprint)."""
+    a = _renderer(max_spp=4, spp=2)
+    a.render()
+    path = str(tmp_path / "ckpt.npz")
+    a.save_checkpoint(path)
+    params = dataclasses.replace(
+        a.params, sampling=dataclasses.replace(a.params.sampling,
+                                               max_samples_per_pixel=8))
+    b = Renderer(scenes.three_spheres(), params)
+    b.load_checkpoint(path)
+    assert b.accumulated_samples() == 4
+    assert b.render_frame()  # continues past the old max
+
+
+def test_render_stats_warmup():
+    """rays_per_sec excludes the first (compile) frame; warmup recorded."""
+    r = _renderer(max_spp=8, spp=2)
+    stats = r.render()
+    assert stats.frames == 4
+    assert stats.warmup_seconds > 0
+    assert stats.seconds >= stats.warmup_seconds
+    assert stats.rays_per_sec > 0
+
+
+def test_pallas_backend_rejects_image_textures():
+    """Forcing backend='pallas' on an image-textured scene raises a typed
+    error instead of silently rendering mean-texel albedos (ADVICE r1)."""
+    from weekend_raytracer_tpu import RenderParamsValidationError
+
+    desc = scenes.textured_spheres()
+    params = RenderParams(
+        camera=scenes.textured_spheres_camera(),
+        viewport_size=(32, 18),
+        sampling=SamplingParams(max_samples_per_pixel=4,
+                                num_samples_per_pixel=2, num_bounces=4),
+    )
+    with pytest.raises(RenderParamsValidationError):
+        Renderer(desc, params, backend="pallas")

@@ -20,11 +20,17 @@ from .models.sky import SkyParams, SkyState, to_sky_state
 from .models.spheres import Sphere, SphereSoA
 from .models.textures import Texture, TexturePool
 from .ops.tracer import Scene, render_image, render_pixels, trace_paths
-from .renderer import Renderer, RenderProgress, RenderStats
+from .renderer import (
+    CheckpointMismatchError,
+    Renderer,
+    RenderProgress,
+    RenderStats,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "CheckpointMismatchError",
     "Angle",
     "Camera",
     "CameraBasis",

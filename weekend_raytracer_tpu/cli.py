@@ -36,6 +36,12 @@ def main(argv=None) -> int:
                    help="also dump linear mean radiance (pre-tonemap) as .npz")
     p.add_argument("--checkpoint", default=None, metavar="PATH.npz",
                    help="resume from / save to a progressive render checkpoint")
+    p.add_argument("--tile-shards", type=int, default=None, metavar="N",
+                   help="shard image rows over N devices (default: no mesh; "
+                        "0 = all devices after --spp-shards)")
+    p.add_argument("--spp-shards", type=int, default=1, metavar="N",
+                   help="shard each frame's samples over N devices, merged "
+                        "with one psum over ICI (requires --tile-shards)")
     p.add_argument("--stats-json", action="store_true",
                    help="print render stats as one JSON line")
     args = p.parse_args(argv)
@@ -77,7 +83,15 @@ def main(argv=None) -> int:
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if scene.materials.all_solid else "xla"
-    renderer = Renderer(scene, params, backend=backend)
+    mesh = None
+    if args.tile_shards is not None or args.spp_shards > 1:
+        from .parallel.sharding import make_mesh
+
+        mesh = make_mesh(
+            tile_shards=args.tile_shards or None,
+            spp_shards=args.spp_shards,
+        )
+    renderer = Renderer(scene, params, backend=backend, mesh=mesh)
     import os
 
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -99,7 +113,9 @@ def main(argv=None) -> int:
         "size": list(args.size),
         "spp": stats.samples_per_pixel,
         "seconds": round(stats.seconds, 3),
+        "warmup_seconds": round(stats.warmup_seconds, 3),
         "rays_per_sec": round(stats.rays_per_sec, 1),
+        "devices": mesh.devices.size if mesh is not None else 1,
         "output": args.output,
     }
     if args.stats_json:
@@ -108,7 +124,8 @@ def main(argv=None) -> int:
         print(
             f"{args.scene} [{backend}] {args.size[0]}x{args.size[1]} "
             f"{stats.samples_per_pixel}spp in {stats.seconds:.2f}s "
-            f"({stats.rays_per_sec / 1e6:.1f}M rays/s) -> {args.output}"
+            f"(warm {stats.rays_per_sec / 1e6:.1f}M rays/s; first frame "
+            f"incl. compile {stats.warmup_seconds:.2f}s) -> {args.output}"
         )
     return 0
 

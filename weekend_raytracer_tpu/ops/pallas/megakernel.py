@@ -101,7 +101,7 @@ def _dot3(ax, ay, az, bx, by, bz):
 def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  n_spheres: int, tsub: int, chunk_size: int, n_chunks: int,
                  block_w: int, tiles_x: int, super_factor: int,
-                 n_super: int, full_height: int):
+                 n_super: int, full_height: int, stats: bool = False):
     """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
     (ops/bvh.py): whole-tile AABB slab tests skip chunk bodies (and, for
     big scenes, whole super-chunks of chunks).
@@ -132,12 +132,18 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         rhs = p2 + p3 * exp_m + p5 * ray_m + p6 * mie + p7 * zen
         return lhs * rhs
 
+    def _inc(carry, pos):
+        """Increment the scalar stats counter at tuple position ``pos``."""
+        lst = list(carry)
+        lst[pos] = lst[pos] + jnp.int32(1)
+        return tuple(lst)
+
     def kernel(meta_ref, cam_ref, sky_ref,
                scx, scy, scz, srad, smid, smx,
                sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq,
                clox, cloy, cloz, chix, chiy, chiz,
                slox, sloy, sloz, shix, shiy, shiz,
-               acc_in, acc_out):
+               acc_in, acc_out, *maybe_stats_ref):
         t = pl.program_id(0)
         frame = meta_ref[0]  # uint32 scalar
         clear = meta_ref[1] == jnp.uint32(1)
@@ -189,7 +195,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             independent per sphere. The quadratic uses the expanded form
             b = o.d - c.d, c = |o|^2 - 2 o.c + kq with kq = |c|^2 - r^2
             precomputed per sphere: 4 scalar reads, ~22 VPU ops."""
-            (_, _, ox, oy, oz, dx, dy, dz, od, oo) = carry
+            (_, _, ox, oy, oz, dx, dy, dz, od, oo) = carry[:10]
             cx, cy, cz, kq = scx[s], scy[s], scz[s], skq[s]
             cd = cx * dx + cy * dy + cz * dz
             co = cx * ox + cy * oy + cz * oz
@@ -243,7 +249,8 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
 
         def bounce_body(carry):
             (i, ox, oy, oz, dx, dy, dz,
-             tr, tg, tb, cr, cg, cb, alive_f, state) = carry
+             tr, tg, tb, cr, cg, cb, alive_f, state) = carry[:15]
+            stat_carry = carry[15:]  # (live_sum, chunks, supers) when stats
             alive = alive_f > 0.5
 
             zero = jnp.zeros((tsub, 128), f32)
@@ -253,6 +260,10 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             init = (jnp.full((tsub, 128), MAX_T, f32),
                     jnp.full((tsub, 128), -1.0, f32),
                     ox, oy, oz, dx, dy, dz, od, oo)
+            if stats:
+                # trailing scalar counters (chunks entered, supers entered);
+                # sweep_span_tree passes carry[2:] through untouched
+                init = init + (jnp.int32(0), jnp.int32(0))
             # Robust inverse direction for AABB slab tests (signed epsilon
             # avoids inf*0 NaNs when a component is exactly zero).
             eps_d = jnp.float32(1.0e-12)
@@ -286,23 +297,32 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                 )
 
             def chunk_body(c, carry):
+                def taken(cr):
+                    cr = sweep_span_tree(c * chunk_size, chunk_size, cr)
+                    return _inc(cr, -2) if stats else cr
+
                 return jax.lax.cond(
                     bound_possible(carry[0], clox[c], cloy[c], cloz[c],
                                    chix[c], chiy[c], chiz[c]),
-                    lambda cr: sweep_span_tree(c * chunk_size, chunk_size, cr),
+                    taken,
                     lambda cr: cr,
                     carry,
                 )
 
             if two_level:
                 def super_body(sc, carry):
+                    def taken(cr):
+                        if stats:
+                            cr = _inc(cr, -1)
+                        return jax.lax.fori_loop(
+                            sc * super_factor, (sc + 1) * super_factor,
+                            chunk_body, cr,
+                        )
+
                     return jax.lax.cond(
                         bound_possible(carry[0], slox[sc], sloy[sc], sloz[sc],
                                        shix[sc], shiy[sc], shiz[sc]),
-                        lambda cr: jax.lax.fori_loop(
-                            sc * super_factor, (sc + 1) * super_factor,
-                            chunk_body, cr,
-                        ),
+                        taken,
                         lambda cr: cr,
                         carry,
                     )
@@ -323,6 +343,12 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                     return sweep_span_tree(i * span, span, carry)
 
                 res = jax.lax.fori_loop(0, pad_n // span, span_body, init)
+            if stats:
+                live_sum, chunks_tot, supers_tot = stat_carry
+                live_sum = live_sum + jnp.sum(alive_f)
+                chunks_tot = chunks_tot + res[-2]
+                supers_tot = supers_tot + res[-1]
+                stat_carry = (live_sum, chunks_tot, supers_tot)
             bt, bidx = res[0], res[1]
             hit = bt < MAX_T
 
@@ -512,7 +538,14 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             dz = jnp.where(scattering, ndz, dz)
             return (i + 1, ox, oy, oz, dx, dy, dz,
                     tr, tg, tb, cr, cg, cb,
-                    jnp.where(scattering, 1.0, 0.0).astype(f32), state)
+                    jnp.where(scattering, 1.0, 0.0).astype(f32),
+                    state) + stat_carry
+
+        if stats:
+            st_iters = jnp.int32(0)
+            st_live = jnp.float32(0.0)
+            st_chunks = jnp.int32(0)
+            st_supers = jnp.int32(0)
 
         for _ in range(spp):
             # Jittered screen sample + thin-lens ray (wgsl:105-122, 456-478)
@@ -542,10 +575,17 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             carry = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
                      one, one, one, zero, zero, zero,
                      one, state)
+            if stats:
+                carry = carry + (jnp.float32(0.0), jnp.int32(0), jnp.int32(0))
             carry = jax.lax.while_loop(bounce_cond, bounce_body, carry)
             tr, tg, tb = carry[7], carry[8], carry[9]
             cr, cg, cb = carry[10], carry[11], carry[12]
             state = carry[14]
+            if stats:
+                st_iters = st_iters + carry[0]
+                st_live = st_live + carry[15]
+                st_chunks = st_chunks + carry[16]
+                st_supers = st_supers + carry[17]
             tot_r = tot_r + tr * cr
             tot_g = tot_g + tg * cg
             tot_b = tot_b + tb * cb
@@ -556,6 +596,17 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         acc_out[0] = base_r + tot_r
         acc_out[1] = base_g + tot_g
         acc_out[2] = base_b + tot_b
+        if stats:
+            # one (8,128) block per tile, stat r broadcast across row r
+            # (VMEM blocks must be (8,128)-aligned; SMEM outputs can't take
+            # sub-8 blocks)
+            rows = [st_iters.astype(f32), st_live,
+                    st_chunks.astype(f32), st_supers.astype(f32)]
+            block = jnp.concatenate(
+                [jnp.full((1, 128), v, f32) for v in rows]
+                + [jnp.zeros((4, 128), f32)], axis=0,
+            )
+            maybe_stats_ref[0][0] = block
 
     return kernel
 
@@ -568,7 +619,7 @@ def _is_cpu() -> bool:
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "tsub",
                      "chunk_size", "block_w", "super_factor", "full_height",
-                     "interpret"),
+                     "interpret", "stats"),
 )
 def render_image_pallas(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -589,10 +640,17 @@ def render_image_pallas(
     row_offset: jnp.ndarray | int = 0,
     full_height: int | None = None,
     interpret: bool | None = None,
+    stats: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the fused megakernel; drop-in for
     ops.tracer.render_image. Requires solid-color materials (see module
-    docstring); use MaterialTable.all_solid to pick the backend."""
+    docstring); use MaterialTable.all_solid to pick the backend.
+
+    stats=True additionally returns a [n_tiles, 8] f32 array of per-tile
+    instrumentation (0: bounce iterations summed over samples, 1: live-lane
+    sum over iterations, 2: chunk bodies entered, 3: super bodies entered)
+    for performance analysis — adds scalar counters to the hot loop, so
+    keep it off for production renders."""
     if interpret is None:
         interpret = _is_cpu()
     if full_height is None:
@@ -691,8 +749,17 @@ def render_image_pallas(
 
     kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
                           chunk_size, n_chunks, block_w, tiles_x,
-                          super_factor, n_super, full_height)
+                          super_factor, n_super, full_height, stats=stats)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    acc_spec = pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = acc_spec
+    out_shape = jax.ShapeDtypeStruct((3, n_tiles * tsub, 128), jnp.float32)
+    if stats:
+        out_specs = (acc_spec, pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                            memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -700,12 +767,17 @@ def render_image_pallas(
             pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, n_tiles * tsub, 128), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases={28: 0},
         interpret=interpret,
     )(meta, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays, acc)
 
+    if stats:
+        out, stats_arr = out
+        stats_arr = stats_arr[:, :, 0]  # stat r broadcast across lanes
     out2d = out.reshape(3, -1)[:, inv_perm].reshape(3, hp, wp)
-    return out2d[:, :height, :width].reshape(3, n).T
+    img = out2d[:, :height, :width].reshape(3, n).T
+    if stats:
+        return img, stats_arr
+    return img

@@ -36,6 +36,9 @@ def initialize(
     if num_processes is not None and num_processes <= 1:
         return
     if coordinator_address or num_processes:
+        # Explicitly configured cluster: failures are real errors and
+        # propagate — degrading to single-process here would silently
+        # render 1/num_processes of the work.
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -43,12 +46,28 @@ def initialize(
         )
         return
     # Auto-detect mode: on TPU pods jax.distributed reads the cluster
-    # environment itself. Outside a cluster this raises — that's the
-    # single-process case, which needs no initialization.
+    # environment itself. Outside a cluster detection fails — that's the
+    # single-process case, which needs no initialization — but a cluster
+    # that *was* detected and then failed to initialize must not be
+    # swallowed into a silent single-process run.
+    from ..utils.log import get_logger
+
+    log = get_logger(__name__)
     try:
         jax.distributed.initialize()
-    except Exception:
-        pass
+    except RuntimeError as e:
+        if "initialize" in str(e) and "already" in str(e):
+            raise
+        log.info(
+            "no multi-process cluster detected (%s); running single-process",
+            str(e).splitlines()[0],
+        )
+    except ValueError as e:
+        # jax raises ValueError when cluster auto-detection finds nothing
+        log.info(
+            "no multi-process cluster detected (%s); running single-process",
+            str(e).splitlines()[0],
+        )
 
 
 def global_mesh(spp_shards: int = 1):

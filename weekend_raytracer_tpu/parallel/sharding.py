@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.camera import CameraBasis
+from ..models.params import RenderParamsValidationError
 from ..models.sky import SkyState
 from ..ops.tracer import Scene, render_pixels
 
@@ -43,11 +44,39 @@ def make_mesh(
     """Build a (tiles, spp) mesh. Defaults to all devices on the tile axis."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if spp_shards < 1 or n % spp_shards != 0:
+        raise RenderParamsValidationError(
+            f"spp_shards ({spp_shards}) must divide the device count ({n})"
+        )
     if tile_shards is None:
         tile_shards = n // spp_shards
-    assert tile_shards * spp_shards == n, (tile_shards, spp_shards, n)
+    if tile_shards * spp_shards != n:
+        raise RenderParamsValidationError(
+            f"tile_shards * spp_shards ({tile_shards}x{spp_shards}) must "
+            f"equal the device count ({n})"
+        )
     arr = np.asarray(devices).reshape(tile_shards, spp_shards)
     return Mesh(arr, (TILE_AXIS, SPP_AXIS))
+
+
+def validate_mesh_config(mesh: Mesh, viewport_size, spp_per_frame: int) -> None:
+    """Typed up-front checks for rendering on a mesh (Renderer(mesh=...)).
+
+    Heights that the tile axis doesn't divide are fine — the renderer pads
+    rows — but the per-frame sample count must split evenly across the spp
+    axis (samples are integers; fractional shards can't be decorrelated).
+    """
+    if TILE_AXIS not in mesh.shape or SPP_AXIS not in mesh.shape:
+        raise RenderParamsValidationError(
+            f"mesh must have ({TILE_AXIS!r}, {SPP_AXIS!r}) axes, got "
+            f"{tuple(mesh.axis_names)} (use parallel.sharding.make_mesh)"
+        )
+    n_spp = mesh.shape[SPP_AXIS]
+    if spp_per_frame % n_spp != 0:
+        raise RenderParamsValidationError(
+            f"num_samples_per_pixel ({spp_per_frame}) must be divisible by "
+            f"the mesh spp axis ({n_spp})"
+        )
 
 
 def render_image_sharded(
@@ -65,6 +94,7 @@ def render_image_sharded(
     mesh: Mesh,
     sphere_chunk: int = 512,
     backend: str = "xla",
+    aim_height: Optional[int] = None,
 ) -> jnp.ndarray:
     """One progressive frame over the mesh; returns the new accumulator.
 
@@ -73,21 +103,34 @@ def render_image_sharded(
     batches on different spp shards are decorrelated by folding the shard
     index into the RNG frame seed.
 
+    ``height`` is the accumulator's (possibly padded) row count and must be
+    divisible by the tile axis; ``aim_height`` is the real image height the
+    camera basis was derived for (defaults to ``height``). Rows in
+    [aim_height, height) render off-frame content the caller slices away —
+    this is how Renderer(mesh=...) supports arbitrary viewport sizes.
+
     backend="pallas" runs the fused megakernel per shard (each chip owns a
     horizontal band of rows; the kernel seeds RNG and aims the camera in
-    global image coordinates via its row_offset input). Requires height
-    divisible by the tile-axis size and solid-material scenes.
+    global image coordinates via its row_offset input). Requires
+    solid-material scenes.
     """
     n_tiles = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
     n_pixels = width * height
-    assert n_pixels % n_tiles == 0, (n_pixels, n_tiles)
-    assert spp % n_spp == 0, (spp, n_spp)
+    if aim_height is None:
+        aim_height = height
+    if height % n_tiles != 0:
+        raise RenderParamsValidationError(
+            f"accumulator height ({height}) must be divisible by the tile "
+            f"axis ({n_tiles}); pad rows first (Renderer(mesh=...) does)"
+        )
+    if spp % n_spp != 0:
+        raise RenderParamsValidationError(
+            f"frame spp ({spp}) must be divisible by the spp axis ({n_spp})"
+        )
     block = n_pixels // n_tiles
     local_spp = spp // n_spp
-    if backend == "pallas":
-        assert height % n_tiles == 0, (height, n_tiles)
-    block_rows = height // n_tiles if height % n_tiles == 0 else 0
+    block_rows = height // n_tiles
 
     def shard_fn(accum_blk, frame, clear, scene, sky, basis):
         tile_idx = jax.lax.axis_index(TILE_AXIS)
@@ -103,12 +146,12 @@ def render_image_sharded(
                 width=width, height=block_rows, spp=local_spp,
                 num_bounces=num_bounces,
                 row_offset=(tile_idx * block_rows).astype(jnp.uint32),
-                full_height=height,
+                full_height=aim_height,
             )
         else:
             pixel_idx = tile_idx * block + jnp.arange(block, dtype=jnp.int32)
             contrib = render_pixels(
-                pixel_idx, seed_frame, scene, sky, basis, width, height,
+                pixel_idx, seed_frame, scene, sky, basis, width, aim_height,
                 local_spp, num_bounces, sphere_chunk,
             )
         contrib = jax.lax.psum(contrib, SPP_AXIS)

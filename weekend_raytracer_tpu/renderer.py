@@ -20,6 +20,7 @@ leaves the device", SURVEY.md §3.3). One jitted step function per
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import time
 from functools import partial
 from typing import Optional
@@ -29,11 +30,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.camera import CameraBasis
-from .models.params import RenderParams
+from .models.params import RenderParams, RenderParamsValidationError
 from .models.scenes import SceneDesc
 from .models.sky import to_sky_state
 from .ops import tonemap
 from .ops.tracer import Scene, render_image
+
+
+class CheckpointMismatchError(ValueError):
+    """A checkpoint's scene/params fingerprint doesn't match the renderer.
+
+    Raised by Renderer.load_checkpoint instead of silently blending samples
+    rendered under different scene data, camera, sky, viewport, or bounce
+    depth into the accumulator."""
 
 
 @dataclasses.dataclass
@@ -71,6 +80,10 @@ class RenderProgress:
     def reset(self) -> None:
         self._accumulated = 0
 
+    def restore(self, accumulated: int) -> None:
+        """Set the accumulated-sample count (checkpoint resume)."""
+        self._accumulated = int(accumulated)
+
     def accumulated_samples(self) -> int:
         return self._accumulated
 
@@ -91,9 +104,15 @@ class Renderer:
     scene : SceneDesc or prebuilt ops.tracer.Scene
     params : RenderParams (validated on construction and on update)
     backend : "xla" (wavefront jitted tracer) or "pallas" (fused kernel)
+    mesh : optional jax.sharding.Mesh (tiles x spp axes, see
+        parallel.sharding.make_mesh). When given, the accumulator is
+        row-sharded over the tile axis and every frame renders under
+        shard_map, merging spp-axis sample shards with one psum over ICI.
+        Heights not divisible by the tile axis are padded internally.
     """
 
-    def __init__(self, scene, params: RenderParams, backend: str = "auto"):
+    def __init__(self, scene, params: RenderParams, backend: str = "auto",
+                 mesh=None):
         from .utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -108,7 +127,21 @@ class Renderer:
             # The fused kernel handles solid/procedural materials; image
             # textures need the gathering XLA path.
             backend = "pallas" if self._scene.materials.all_solid else "xla"
+        elif backend == "pallas" and not self._scene.materials.all_solid:
+            # Explicitly forcing the fused kernel onto an image-textured
+            # scene would silently render with prefolded mean-texel albedos
+            # (megakernel module docstring) — refuse with a typed error.
+            raise RenderParamsValidationError(
+                "backend='pallas' supports solid/procedural materials only; "
+                "this scene has image textures — use backend='auto' or 'xla'"
+            )
         self.backend = backend
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.sharding import validate_mesh_config
+
+            validate_mesh_config(mesh, params.viewport_size,
+                                 params.sampling.num_samples_per_pixel)
         self._params = params
         self._progress = RenderProgress()
         self._frame_number = 0
@@ -122,9 +155,27 @@ class Renderer:
         self._basis = CameraBasis.create(self._params.camera, self._params.viewport_size)
         self._sky = to_sky_state(self._params.sky)
 
+    def _padded_height(self) -> int:
+        """Image height padded so the tile axis divides the rows evenly
+        (single-device: no padding). Padding rows render off-frame content
+        and are sliced away on readback."""
+        h = self._params.viewport_size[1]
+        if self.mesh is None:
+            return h
+        from .parallel.sharding import TILE_AXIS
+
+        n_tiles = self.mesh.shape[TILE_AXIS]
+        return -(-h // n_tiles) * n_tiles
+
     def _alloc_accumulator(self) -> None:
-        w, h = self._params.viewport_size
-        self._accum = jnp.zeros((w * h, 3), dtype=jnp.float32)
+        w, _ = self._params.viewport_size
+        hp = self._padded_height()
+        if self.mesh is None:
+            self._accum = jnp.zeros((w * hp, 3), dtype=jnp.float32)
+        else:
+            from .parallel.sharding import sharded_accumulator
+
+            self._accum = sharded_accumulator(w, hp, self.mesh)
 
     # -- parameter updates (reference mod.rs:353-388) ------------------------
 
@@ -150,10 +201,24 @@ class Renderer:
 
     def _get_step(self, spp: int, bounces: int):
         w, h = self._params.viewport_size
+        hp = self._padded_height()
         n_spheres = int(self._scene.spheres.centers.shape[0])
         key = (self.backend, w, h, spp, bounces, n_spheres)
         if key not in self._step_cache:
-            if self.backend == "pallas":
+            if self.mesh is not None:
+                from .parallel.sharding import render_image_sharded
+
+                fn = partial(
+                    render_image_sharded,
+                    width=w,
+                    height=hp,
+                    aim_height=h,
+                    spp=spp,
+                    num_bounces=bounces,
+                    mesh=self.mesh,
+                    backend=self.backend,
+                )
+            elif self.backend == "pallas":
                 from .ops.pallas.megakernel import render_image_pallas
 
                 fn = partial(
@@ -201,23 +266,48 @@ class Renderer:
         np.asarray(self._accum[:1])
 
     def render(self, block: bool = True) -> "RenderStats":
-        """Render until converged (max spp reached); returns timing stats."""
+        """Render until converged (max spp reached); returns timing stats.
+
+        ``rays_per_sec`` is computed over warm frames only: the first frame
+        is synced and timed separately (``warmup_seconds``) because it pays
+        the Mosaic/XLA compile on a cold cache — minutes on some transports
+        — which would otherwise understate throughput (all later frames
+        reuse the same compiled step). ``seconds`` is total wall time.
+        """
         t0 = time.perf_counter()
         frames = 0
+        warmup = 0.0
+        warm_t0 = t0
+        warm_spp0 = self._progress.accumulated_samples()
         while self.render_frame():
             frames += 1
+            if frames == 1:
+                self.sync()
+                now = time.perf_counter()
+                warmup = now - t0
+                warm_t0 = now
+                warm_spp0 = self._progress.accumulated_samples()
         if block:
             self.sync()
-        dt = time.perf_counter() - t0
+        end = time.perf_counter()
+        dt = end - t0
+        dt_warm = end - warm_t0
         w, h = self._params.viewport_size
         s = self._params.sampling
-        rays = w * h * self._progress.accumulated_samples() * s.num_bounces
+        total_spp = self._progress.accumulated_samples()
+        rays = w * h * total_spp * s.num_bounces
+        warm_rays = w * h * (total_spp - warm_spp0) * s.num_bounces
+        if warm_rays > 0 and dt_warm > 0:
+            rps = warm_rays / dt_warm
+        else:  # single-frame render: no warm frames to measure
+            rps = rays / dt if dt > 0 else 0.0
         return RenderStats(
             frames=frames,
             seconds=dt,
-            samples_per_pixel=self._progress.accumulated_samples(),
+            samples_per_pixel=total_spp,
             rays=rays,
-            rays_per_sec=rays / dt if dt > 0 else 0.0,
+            rays_per_sec=rps,
+            warmup_seconds=warmup,
         )
 
     def progress(self) -> float:
@@ -234,6 +324,29 @@ class Renderer:
     # are the render's whole persistent state; the reference keeps them
     # only in GPU memory across frames, mod.rs:615-679) ----------------------
 
+    def _fingerprint(self) -> str:
+        """Stable hash binding a checkpoint to what produced its samples:
+        scene arrays + camera + sky + viewport + bounce depth + backend.
+
+        Sampling *counts* (spp per frame / max spp) are deliberately
+        excluded: changing them only re-paces or extends the progressive
+        render — every accumulated sample remains a draw from the same
+        estimator — and "resume with a larger --spp" is a supported use.
+        """
+        h = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(self._scene):
+            a = np.asarray(leaf)
+            h.update(str(a.shape).encode())
+            h.update(str(a.dtype).encode())
+            h.update(a.tobytes())
+        p = self._params
+        h.update(repr(p.camera).encode())
+        h.update(repr(p.sky).encode())
+        h.update(repr(tuple(p.viewport_size)).encode())
+        h.update(str(p.sampling.num_bounces).encode())
+        h.update(self.backend.encode())
+        return h.hexdigest()
+
     def save_checkpoint(self, path: str) -> None:
         """Persist the progressive render state to an .npz file."""
         np.savez_compressed(
@@ -242,22 +355,59 @@ class Renderer:
             accumulated_spp=np.int64(self._progress.accumulated_samples()),
             frame_number=np.int64(self._frame_number),
             viewport=np.asarray(self._params.viewport_size, dtype=np.int64),
+            fingerprint=np.asarray(self._fingerprint()),
         )
 
     def load_checkpoint(self, path: str) -> None:
         """Resume a progressive render saved by save_checkpoint.
 
-        The checkpoint must match the current viewport; parameter changes
-        after resume behave exactly like live changes (reset on change).
+        Raises CheckpointMismatchError unless the checkpoint's fingerprint
+        (scene + camera + sky + viewport + bounces + backend) matches this
+        renderer — mismatched resumes would silently blend samples of a
+        different image into the accumulator. Parameter changes after
+        resume behave exactly like live changes (reset on change).
         """
         data = np.load(path)
         vp = tuple(int(v) for v in data["viewport"])
         if vp != tuple(self._params.viewport_size):
-            raise ValueError(
+            raise CheckpointMismatchError(
                 f"checkpoint viewport {vp} != current {self._params.viewport_size}"
             )
-        self._accum = jnp.asarray(data["accum"])
-        self._progress._accumulated = int(data["accumulated_spp"])
+        if "fingerprint" in data:
+            saved = str(data["fingerprint"])
+            if saved != self._fingerprint():
+                raise CheckpointMismatchError(
+                    f"checkpoint {path!r} was saved with different scene/"
+                    "camera/sky/bounces/backend state than this renderer; "
+                    "refusing to blend incompatible samples"
+                )
+        else:
+            from .utils.log import get_logger
+
+            get_logger(__name__).warning(
+                "checkpoint %s has no fingerprint (pre-round-2 format); "
+                "scene/params compatibility cannot be verified", path,
+            )
+        accum = jnp.asarray(data["accum"], dtype=jnp.float32)
+        w, _ = self._params.viewport_size
+        hp = self._padded_height()
+        if accum.shape[0] != w * hp:
+            # single-device checkpoint resumed on a padded mesh (or vice
+            # versa): grow/trim the padding rows, which carry no image data
+            base = np.zeros((w * hp, 3), dtype=np.float32)
+            n = min(w * hp, accum.shape[0])
+            base[:n] = np.asarray(accum)[:n]
+            accum = jnp.asarray(base)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.sharding import TILE_AXIS
+
+            accum = jax.device_put(
+                accum, NamedSharding(self.mesh, P(TILE_AXIS, None))
+            )
+        self._accum = accum
+        self._progress.restore(int(data["accumulated_spp"]))
         self._frame_number = int(data["frame_number"])
 
     # -- readback ------------------------------------------------------------
@@ -266,7 +416,8 @@ class Renderer:
         """Accumulator / sample count as [H, W, 3] (pre-tonemap)."""
         w, h = self._params.viewport_size
         n = max(1, self._progress.accumulated_samples())
-        return (self._accum / n).reshape(h, w, 3)
+        acc = self._accum[: w * h]  # drop mesh padding rows, if any
+        return (acc / n).reshape(h, w, 3)
 
     def image(self) -> np.ndarray:
         """Tonemapped sRGB uint8 frame [H, W, 3] (the swapchain output:
@@ -277,7 +428,8 @@ class Renderer:
 @dataclasses.dataclass(frozen=True)
 class RenderStats:
     frames: int
-    seconds: float
+    seconds: float  # total wall time, including first-frame compile
     samples_per_pixel: int
     rays: int
-    rays_per_sec: float
+    rays_per_sec: float  # warm-frame throughput (compile excluded)
+    warmup_seconds: float = 0.0  # first frame incl. jit/Mosaic compile
