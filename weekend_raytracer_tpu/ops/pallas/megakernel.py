@@ -169,9 +169,8 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         xf = x.astype(f32)
         yf = y_g.astype(f32)
 
-        state = _jenkins(
-            jax.lax.bitcast_convert_type(pix, jnp.uint32) ^ _jenkins(frame)
-        )
+        pix_u32 = jax.lax.bitcast_convert_type(pix, jnp.uint32)
+        frame_hash = _jenkins(frame)
 
         # camera basis scalars
         ex, ey, ez = cam_ref[0], cam_ref[1], cam_ref[2]
@@ -547,7 +546,13 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             st_chunks = jnp.int32(0)
             st_supers = jnp.int32(0)
 
-        for _ in range(spp):
+        for s in range(spp):
+            # Independent per-sample seed (ops/rng.py init_sample_state):
+            # draws depend only on (pixel, frame, sample, bounce), so the
+            # whole-tile bounce exit can't shift later samples' streams and
+            # results are bit-identical to the XLA path for live rays.
+            mix = jnp.uint32((0x9E3779B9 * (s + 1)) & 0xFFFFFFFF)
+            state = _jenkins(pix_u32 ^ frame_hash ^ mix)
             # Jittered screen sample + thin-lens ray (wgsl:105-122, 456-478)
             state, ju = _rng_float(state)
             state, jv = _rng_float(state)

@@ -42,6 +42,27 @@ def init_state(pixel_index: jnp.ndarray, frame: jnp.ndarray) -> jnp.ndarray:
     return jenkins_hash(pixel_index ^ jenkins_hash(frame))
 
 
+GOLDEN = 0x9E3779B9  # 2^32 / golden ratio: odd, full-period sample stride
+
+
+def init_sample_state(
+    pixel_index: jnp.ndarray, frame: jnp.ndarray, sample
+) -> jnp.ndarray:
+    """Seed for one (pixel, frame, sample) draw stream.
+
+    Unlike the reference's carried stream (one seed per pixel per frame,
+    samples drawing sequentially, wgsl:498-502 + 113-119), each sample gets
+    an independent seed. A path's draws then depend only on its own bounce
+    index — bit-identical across the XLA scan, the fused megakernel
+    (whole-tile bounce exits no longer shift later samples' draws), the
+    wavefront ray pool (any regrouping), and the NumPy oracle.
+    """
+    pixel_index = jnp.asarray(pixel_index, dtype=jnp.uint32)
+    frame = jnp.asarray(frame, dtype=jnp.uint32)
+    mix = jnp.uint32(GOLDEN) * (jnp.asarray(sample, jnp.uint32) + jnp.uint32(1))
+    return jenkins_hash(pixel_index ^ jenkins_hash(frame) ^ mix)
+
+
 def next_state(state: jnp.ndarray) -> jnp.ndarray:
     """One PCG step (raytracer.wgsl:504-511); returns the new state."""
     old = state + jnp.uint32(747796405) + jnp.uint32(2891336453)

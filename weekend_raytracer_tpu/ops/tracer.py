@@ -130,11 +130,14 @@ def render_pixels(
     y = (pixel_idx // width).astype(jnp.float32)
     inv_w = 1.0 / float(width)
     inv_h = 1.0 / float(height)
+    pix_u32 = pixel_idx.astype(jnp.uint32)
 
-    states = rng.init_state(pixel_idx.astype(jnp.uint32), frame)
-
-    def sample(carry, _):
-        states, acc = carry
+    def sample(carry, s):
+        acc = carry
+        # independent per-sample seed (see rng.init_sample_state): draws
+        # depend only on (pixel, frame, sample, bounce) — stable across
+        # backends, tile shapes, and ray regrouping
+        states = rng.init_sample_state(pix_u32, frame, s)
         states, (ju, jv, dr, da) = rng.next_floats(states, 4)
         su = (x + ju) * inv_w
         sv = 1.0 - (y + jv) * inv_h
@@ -142,10 +145,10 @@ def render_pixels(
         radiance, states = trace_paths(
             o, d, states, scene, sky, num_bounces, sphere_chunk
         )
-        return (states, acc + radiance), None
+        return acc + radiance, None
 
     acc0 = jnp.zeros((pixel_idx.shape[0], 3), dtype=jnp.float32)
-    (_, acc), _ = jax.lax.scan(sample, (states, acc0), None, length=spp)
+    acc, _ = jax.lax.scan(sample, acc0, jnp.arange(spp, dtype=jnp.uint32))
     return acc
 
 

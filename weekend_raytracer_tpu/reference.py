@@ -144,9 +144,11 @@ class OracleTracer:
         pix = np.arange(n, dtype=np.uint64)
         x = (pix % W).astype(np.float32)
         y = (pix // W).astype(np.float32)
-        state = init_state(pix, frame)
         acc = np.zeros((n, 3), np.float32)
-        for _ in range(spp):
+        for s in range(spp):
+            # independent per-sample seed (matches ops/rng.init_sample_state)
+            mix = np.uint64((0x9E3779B9 * (s + 1)) & 0xFFFFFFFF)
+            state = jenkins(pix ^ jenkins(np.uint64(frame)) ^ mix)
             state, ju = next_float(state)
             state, jv = next_float(state)
             state, dr = next_float(state)
