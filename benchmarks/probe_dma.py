@@ -192,7 +192,9 @@ def probe_dma_rate():
             return 0
 
         jax.lax.fori_loop(0, 32, wait, 0, unroll=True)
-        out_ref[0, 0] = jnp.sum(scratch[:, 0, :])
+        out_ref[:] = jnp.broadcast_to(
+            jnp.sum(scratch[:, 0, :], keepdims=True), (8, 128)
+        )
 
     f = jax.jit(lambda p, idx: pl.pallas_call(
         kernel,
@@ -201,9 +203,9 @@ def probe_dma_rate():
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((32, comps, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((32,)),

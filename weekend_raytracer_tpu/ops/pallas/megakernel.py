@@ -98,6 +98,406 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+
+def sky_channel(p, idx, cos_theta, gamma, cos_gamma):
+    """One channel of the HW-form radiance (raytracer.wgsl:316-343)."""
+    p0, p1, p2 = p[idx + 0], p[idx + 1], p[idx + 2]
+    p3, p4, p5 = p[idx + 3], p[idx + 4], p[idx + 5]
+    p6, p7, p8 = p[idx + 6], p[idx + 7], p[idx + 8]
+    exp_m = jnp.exp(p4 * gamma)
+    ray_m = cos_gamma * cos_gamma
+    mie_base = 1.0 + p8 * p8 - 2.0 * p8 * cos_gamma
+    mie = (1.0 + ray_m) / (mie_base * jnp.sqrt(mie_base))
+    zen = jnp.sqrt(cos_theta)
+    lhs = 1.0 + p0 * jnp.exp(p1 / (cos_theta + 0.01))
+    rhs = p2 + p3 * exp_m + p5 * ray_m + p6 * mie + p7 * zen
+    return lhs * rhs
+
+def _inc(carry, pos):
+    """Increment the scalar stats counter at tuple position ``pos``."""
+    lst = list(carry)
+    lst[pos] = lst[pos] + jnp.int32(1)
+    return tuple(lst)
+
+
+def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
+                 n_chunks, super_factor, n_super, n_spheres,
+                 stats: bool = False):
+    """Build the (cond, body) pair for the per-bounce physics while_loop.
+
+    One bounce = culled closest-hit sweep + winner-attribute retrieval +
+    branchless material scatter + sky on miss (raytracer.wgsl:130-169),
+    operating on SoA register blocks of any (S, 128) shape. Shared by the
+    fused megakernel (ops/pallas/megakernel.py) and the compacted-wavefront
+    kernels (ops/pallas/wavefront.py).
+
+    Carry layout (all [S,128] f32 unless noted):
+      (i:i32, ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
+       alive_f, state:u32 [, live_sum:f32, chunks:i32, supers:i32])
+    """
+    (scx, scy, scz, srad, smid, smx,
+     sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq) = scene
+    (clox, cloy, cloz, chix, chiy, chiz) = bounds
+    (slox, sloy, sloz, shix, shiy, shiz) = supers
+    f32 = jnp.float32
+    culling = n_chunks > 0
+    two_level = n_super > 0
+    sunx, suny, sunz = sky_ref[30], sky_ref[31], sky_ref[32]
+
+    def sphere_ts(s, carry):
+        """Hit parameter for sphere s (MAX_T when invalid); fully
+        independent per sphere. The quadratic uses the expanded form
+        b = o.d - c.d, c = |o|^2 - 2 o.c + kq with kq = |c|^2 - r^2
+        precomputed per sphere: 4 scalar reads, ~22 VPU ops."""
+        (_, _, ox, oy, oz, dx, dy, dz, od, oo) = carry[:10]
+        cx, cy, cz, kq = scx[s], scy[s], scz[s], skq[s]
+        cd = cx * dx + cy * dy + cz * dz
+        co = cx * ox + cy * oy + cz * oz
+        bq = od - cd
+        cq = oo - 2.0 * co + kq
+        disc = bq * bq - cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        nb = -bq
+        t0 = nb - sq
+        t1 = nb + sq
+        # prefer the near root; t1 >= t0 so "t0 in range but beyond
+        # best while t1 is closer" cannot happen (same semantics as
+        # the two-test form in ops/intersect.py)
+        ts = jnp.where(t0 > MIN_T, t0, t1)
+        valid = (disc > 0.0) & (ts > MIN_T)
+        return jnp.where(valid, ts, MAX_T)
+
+    def sweep_span_tree(base, count, carry):
+        """Closest hit over spheres [base, base+count): per-sphere ts
+        values are independent, so the running min is reassociated as
+        a balanced tree — no serial select chain, the VPU runs at
+        issue rate instead of select-latency rate. Tie-breaking stays
+        first-index-wins (strict < at every merge)."""
+        items = []
+        for j in range(count):
+            s = base + j
+            items.append((sphere_ts(s, carry), s.astype(f32)))
+        while len(items) > 1:
+            merged = []
+            for k in range(0, len(items) - 1, 2):
+                (ta, ia), (tb, ib) = items[k], items[k + 1]
+                take_b = tb < ta
+                merged.append((
+                    jnp.minimum(ta, tb), jnp.where(take_b, ib, ia)
+                ))
+            if len(items) % 2:
+                merged.append(items[-1])
+            items = merged
+        tm, im = items[0]
+        bt, bidx = carry[0], carry[1]
+        better = tm < bt
+        return (jnp.where(better, tm, bt), jnp.where(better, im, bidx),
+                *carry[2:])
+
+    def bounce_cond(carry):
+        i = carry[0]
+        alive_f = carry[13]
+        # alive mask carried as f32 0/1: Mosaic can't legalize i1
+        # vectors in while carries.
+        return (i < num_bounces) & (jnp.max(alive_f) > 0.0)
+
+    def bounce_body(carry):
+        (i, ox, oy, oz, dx, dy, dz,
+         tr, tg, tb, cr, cg, cb, alive_f, state) = carry[:15]
+        stat_carry = carry[15:]  # (live_sum, chunks, supers) when stats
+        alive = alive_f > 0.5
+
+        zero = jnp.zeros_like(ox)
+        one = jnp.ones_like(ox)
+        od = _dot3(ox, oy, oz, dx, dy, dz)
+        oo = _dot3(ox, oy, oz, ox, oy, oz)
+        init = (jnp.full_like(ox, MAX_T),
+                jnp.full_like(ox, -1.0),
+                ox, oy, oz, dx, dy, dz, od, oo)
+        if stats:
+            # trailing scalar counters (chunks entered, supers entered);
+            # sweep_span_tree passes carry[2:] through untouched
+            init = init + (jnp.int32(0), jnp.int32(0))
+        # Robust inverse direction for AABB slab tests (signed epsilon
+        # avoids inf*0 NaNs when a component is exactly zero).
+        eps_d = jnp.float32(1.0e-12)
+        sgn_x = jnp.where(dx >= 0.0, 1.0, -1.0)
+        sgn_y = jnp.where(dy >= 0.0, 1.0, -1.0)
+        sgn_z = jnp.where(dz >= 0.0, 1.0, -1.0)
+        inv_dx = 1.0 / (sgn_x * jnp.maximum(jnp.abs(dx), eps_d))
+        inv_dy = 1.0 / (sgn_y * jnp.maximum(jnp.abs(dy), eps_d))
+        inv_dz = 1.0 / (sgn_z * jnp.maximum(jnp.abs(dz), eps_d))
+
+        def bound_possible(bt, lox_, loy_, loz_, hix_, hiy_, hiz_):
+            """Can any live lane's ray enter this AABB closer than its
+            current best-t? Standard slab test with min/max swap folded
+            into the signed inverse direction."""
+            tx0 = (lox_ - ox) * inv_dx
+            tx1 = (hix_ - ox) * inv_dx
+            ty0 = (loy_ - oy) * inv_dy
+            ty1 = (hiy_ - oy) * inv_dy
+            tz0 = (loz_ - oz) * inv_dz
+            tz1 = (hiz_ - oz) * inv_dz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            return jnp.any(
+                alive & (tfar >= tnear) & (tfar > MIN_T) & (tnear < bt)
+            )
+
+        def chunk_body(c, carry):
+            def taken(cr):
+                cr = sweep_span_tree(c * chunk_size, chunk_size, cr)
+                return _inc(cr, -2) if stats else cr
+
+            return jax.lax.cond(
+                bound_possible(carry[0], clox[c], cloy[c], cloz[c],
+                               chix[c], chiy[c], chiz[c]),
+                taken,
+                lambda cr: cr,
+                carry,
+            )
+
+        if two_level:
+            def super_body(sc, carry):
+                def taken(cr):
+                    if stats:
+                        cr = _inc(cr, -1)
+                    return jax.lax.fori_loop(
+                        sc * super_factor, (sc + 1) * super_factor,
+                        chunk_body, cr,
+                    )
+
+                return jax.lax.cond(
+                    bound_possible(carry[0], slox[sc], sloy[sc], sloz[sc],
+                                   shix[sc], shiy[sc], shiz[sc]),
+                    taken,
+                    lambda cr: cr,
+                    carry,
+                )
+
+            res = jax.lax.fori_loop(0, n_super, super_body, init)
+        elif culling:
+            res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        elif n_spheres <= 64:
+            res = sweep_span_tree(jnp.int32(0), n_spheres, init)
+        else:
+            # Unculled big scene (chunk_size=0 override): a rolled loop
+            # over fixed-size spans — python-unrolling thousands of
+            # sphere evaluations would explode the trace/compile.
+            span = 32
+            pad_n = -(-n_spheres // span) * span  # guarded by wrapper pad
+
+            def span_body(i, carry):
+                return sweep_span_tree(i * span, span, carry)
+
+            res = jax.lax.fori_loop(0, pad_n // span, span_body, init)
+        if stats:
+            live_sum, chunks_tot, supers_tot = stat_carry
+            live_sum = live_sum + jnp.sum(alive_f)
+            chunks_tot = chunks_tot + res[-2]
+            supers_tot = supers_tot + res[-1]
+            stat_carry = (live_sum, chunks_tot, supers_tot)
+        bt, bidx = res[0], res[1]
+        hit = bt < MAX_T
+
+        # --- winner-attribute retrieval: blend the 12 per-sphere
+        # attributes of each lane's best sphere, visiting only chunks
+        # that contain some lane's winner (coherent tiles touch 1-3).
+        def retrieve_span(lo, hi, carry):
+            def body(s, cr):
+                m = bidx == s.astype(f32)
+                vals = (scx[s], scy[s], scz[s], srad[s], smid[s], smx[s],
+                        sa1r[s], sa1g[s], sa1b[s],
+                        sa2r[s], sa2g[s], sa2b[s])
+                return tuple(
+                    jnp.where(m, v, old) for v, old in zip(vals, cr)
+                )
+            return jax.lax.fori_loop(lo, hi, body, carry)
+
+        rinit = (zero, zero, zero, one, zero, zero,
+                 zero, zero, zero, zero, zero, zero)
+        if culling:
+            def retr_chunk(c, carry):
+                lo_f = (c * chunk_size).astype(f32)
+                hi_f = ((c + 1) * chunk_size).astype(f32)
+                present = (bidx >= lo_f) & (bidx < hi_f)
+                return jax.lax.cond(
+                    jnp.any(present),
+                    lambda cr: retrieve_span(
+                        c * chunk_size, (c + 1) * chunk_size, cr),
+                    lambda cr: cr,
+                    carry,
+                )
+            rres = jax.lax.fori_loop(0, n_chunks, retr_chunk, rinit)
+        else:
+            rres = retrieve_span(0, n_spheres, rinit)
+        (bcx, bcy, bcz, brad, bmid, bmx,
+         b1r, b1g, b1b, b2r, b2g, b2b) = rres
+        px = ox + bt * dx
+        py = oy + bt * dy
+        pz = oz + bt * dz
+        inv_r = 1.0 / brad
+        nx = (px - bcx) * inv_r
+        ny = (py - bcy) * inv_r
+        nz = (pz - bcz) * inv_r
+
+        state, r1 = _rng_float(state)
+        state, r2 = _rng_float(state)
+        state, r3 = _rng_float(state)
+        state, r4 = _rng_float(state)
+
+        # --- diffuse direction (pixarOnb + cosine hemisphere) ---
+        sgn = jnp.where(nz >= 0.0, 1.0, -1.0)
+        a = -1.0 / (sgn + nz)
+        bb = nx * ny * a
+        t1x = 1.0 + sgn * nx * nx * a
+        t1y = sgn * bb
+        t1z = -sgn * nx
+        t2x = bb
+        t2y = sgn + ny * ny * a
+        t2z = -ny
+        sqr2 = jnp.sqrt(r2)
+        zl = jnp.sqrt(jnp.maximum(0.0, 1.0 - r2))
+        phi = TWO_PI * r1
+        xl = jnp.cos(phi) * sqr2
+        yl = jnp.sin(phi) * sqr2
+        difx = xl * t1x + yl * t2x + zl * nx
+        dify = xl * t1y + yl * t2y + zl * ny
+        difz = xl * t1z + yl * t2z + zl * nz
+        ndw = _dot3(nx, ny, nz, difx, dify, difz)
+        lam_ratio = (FRAC_1_PI * jnp.maximum(EPS, ndw)) / jnp.maximum(
+            EPS, ndw * FRAC_1_PI
+        )
+
+        # --- unit-ball point (metal fuzz / missing material) ---
+        rr = jnp.power(r1, 1.0 / 3.0)
+        cth = 1.0 - 2.0 * r2
+        sth = jnp.sqrt(jnp.maximum(0.0, 1.0 - cth * cth))
+        ph3 = TWO_PI * r3
+        ballx = rr * sth * jnp.cos(ph3)
+        bally = rr * sth * jnp.sin(ph3)
+        ballz = rr * cth
+
+        # --- metal ---
+        ddn2 = 2.0 * _dot3(dx, dy, dz, nx, ny, nz)
+        rflx = dx - ddn2 * nx
+        rfly = dy - ddn2 * ny
+        rflz = dz - ddn2 * nz
+        metx = rflx + bmx * ballx
+        mety = rfly + bmx * bally
+        metz = rflz + bmx * ballz
+
+        # --- dielectric (RTiOW-correct; see ops/scatter.py) ---
+        ddn = 0.5 * ddn2
+        front = ddn < 0.0
+        osx = jnp.where(front, nx, -nx)
+        osy = jnp.where(front, ny, -ny)
+        osz = jnp.where(front, nz, -nz)
+        eta = jnp.where(front, 1.0 / bmx, bmx)
+        cosine = jnp.where(front, -ddn, bmx * ddn)
+        dt = _dot3(dx, dy, dz, osx, osy, osz)
+        disc_d = 1.0 - eta * eta * (1.0 - dt * dt)
+        can_refract = disc_d > 0.0
+        sqd = jnp.sqrt(jnp.maximum(disc_d, 0.0))
+        refx = eta * (dx - dt * osx) - sqd * osx
+        refy = eta * (dy - dt * osy) - sqd * osy
+        refz = eta * (dz - dt * osz) - sqd * osz
+        r0 = (1.0 - bmx) / (1.0 + bmx)
+        r0 = r0 * r0
+        omc = 1.0 - jnp.clip(cosine, 0.0, 1.0)
+        omc2 = omc * omc
+        schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+        reflect_prob = jnp.where(can_refract, schlick, 1.0)
+        use_reflect = r4 < reflect_prob
+        dlx = jnp.where(use_reflect, rflx, refx)
+        dly = jnp.where(use_reflect, rfly, refy)
+        dlz = jnp.where(use_reflect, rflz, refz)
+
+        # --- checkerboard albedo (3D sine parity, wgsl:300-307) ---
+        sines = jnp.sin(5.0 * px) * jnp.sin(5.0 * py) * jnp.sin(5.0 * pz)
+        even = sines < 0.0
+        chkr = jnp.where(even, b1r, b2r)
+        chkg = jnp.where(even, b1g, b2g)
+        chkb = jnp.where(even, b1b, b2b)
+
+        # --- select by material id ---
+        is_lam = bmid == _LAMBERTIAN
+        is_met = bmid == _METAL
+        is_die = bmid == _DIELECTRIC
+        is_chk = bmid == _CHECKERBOARD
+        is_dif = is_lam | is_chk
+
+        def sel(m, yes, no):
+            return jnp.where(m, yes, no)
+
+        missx = nx + ballx
+        missy = ny + bally
+        missz = nz + ballz
+        ndx = sel(is_dif, difx, sel(is_met, metx, sel(is_die, dlx, missx)))
+        ndy = sel(is_dif, dify, sel(is_met, mety, sel(is_die, dly, missy)))
+        ndz = sel(is_dif, difz, sel(is_met, metz, sel(is_die, dlz, missz)))
+
+        att_r = sel(is_lam, b1r * lam_ratio,
+                    sel(is_chk, chkr * lam_ratio,
+                        sel(is_met, b1r, sel(is_die, 1.0, _PINK[0]))))
+        att_g = sel(is_lam, b1g * lam_ratio,
+                    sel(is_chk, chkg * lam_ratio,
+                        sel(is_met, b1g, sel(is_die, 1.0, _PINK[1]))))
+        att_b = sel(is_lam, b1b * lam_ratio,
+                    sel(is_chk, chkb * lam_ratio,
+                        sel(is_met, b1b, sel(is_die, 1.0, _PINK[2]))))
+
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(1.0e-24, _dot3(ndx, ndy, ndz, ndx, ndy, ndz))
+        )
+        ndx = ndx * inv_len
+        ndy = ndy * inv_len
+        ndz = ndz * inv_len
+
+        # --- sky on miss (HW-form distribution) ---
+        cos_theta = jnp.abs(jnp.clip(dy, -1.0, 1.0))
+        cos_gamma = jnp.clip(
+            _dot3(dx, dy, dz, sunx, suny, sunz), -1.0, 1.0
+        )
+        gamma = acos_approx(cos_gamma)
+        sky_r = sky_ref[27] * sky_channel(sky_ref, 0, cos_theta, gamma, cos_gamma)
+        sky_g = sky_ref[28] * sky_channel(sky_ref, 9, cos_theta, gamma, cos_gamma)
+        sky_b = sky_ref[29] * sky_channel(sky_ref, 18, cos_theta, gamma, cos_gamma)
+
+        active = alive & hit
+        miss = alive & (~hit)
+        # emissive area light: the path ends here with x * albedo
+        lit = active & (bmid == _EMISSIVE)
+        scattering = active & (bmid != _EMISSIVE)
+        tr = jnp.where(scattering, tr * att_r, tr)
+        tg = jnp.where(scattering, tg * att_g, tg)
+        tb = jnp.where(scattering, tb * att_b, tb)
+        cr = jnp.where(miss, sky_r, cr)
+        cg = jnp.where(miss, sky_g, cg)
+        cb = jnp.where(miss, sky_b, cb)
+        cr = jnp.where(lit, bmx * b1r, cr)
+        cg = jnp.where(lit, bmx * b1g, cg)
+        cb = jnp.where(lit, bmx * b1b, cb)
+        ox = jnp.where(scattering, px, ox)
+        oy = jnp.where(scattering, py, oy)
+        oz = jnp.where(scattering, pz, oz)
+        dx = jnp.where(scattering, ndx, dx)
+        dy = jnp.where(scattering, ndy, dy)
+        dz = jnp.where(scattering, ndz, dz)
+        return (i + 1, ox, oy, oz, dx, dy, dz,
+                tr, tg, tb, cr, cg, cb,
+                jnp.where(scattering, 1.0, 0.0).astype(f32),
+                state) + stat_carry
+
+    return bounce_cond, bounce_body
+
+
 def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  n_spheres: int, tsub: int, chunk_size: int, n_chunks: int,
                  block_w: int, tiles_x: int, super_factor: int,
@@ -117,26 +517,6 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
     two_level = n_super > 0
     assert block_w & (block_w - 1) == 0, "block_w must be a power of two"
     bw_shift = block_w.bit_length() - 1
-
-    def sky_channel(p, idx, cos_theta, gamma, cos_gamma):
-        """One channel of the HW-form radiance (raytracer.wgsl:316-343)."""
-        p0, p1, p2 = p[idx + 0], p[idx + 1], p[idx + 2]
-        p3, p4, p5 = p[idx + 3], p[idx + 4], p[idx + 5]
-        p6, p7, p8 = p[idx + 6], p[idx + 7], p[idx + 8]
-        exp_m = jnp.exp(p4 * gamma)
-        ray_m = cos_gamma * cos_gamma
-        mie_base = 1.0 + p8 * p8 - 2.0 * p8 * cos_gamma
-        mie = (1.0 + ray_m) / (mie_base * jnp.sqrt(mie_base))
-        zen = jnp.sqrt(cos_theta)
-        lhs = 1.0 + p0 * jnp.exp(p1 / (cos_theta + 0.01))
-        rhs = p2 + p3 * exp_m + p5 * ray_m + p6 * mie + p7 * zen
-        return lhs * rhs
-
-    def _inc(carry, pos):
-        """Increment the scalar stats counter at tuple position ``pos``."""
-        lst = list(carry)
-        lst[pos] = lst[pos] + jnp.int32(1)
-        return tuple(lst)
 
     def kernel(meta_ref, cam_ref, sky_ref,
                scx, scy, scz, srad, smid, smx,
@@ -172,6 +552,17 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         pix_u32 = jax.lax.bitcast_convert_type(pix, jnp.uint32)
         frame_hash = _jenkins(frame)
 
+        bounce_cond, bounce_body = _make_bounce(
+            (scx, scy, scz, srad, smid, smx,
+             sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq),
+            (clox, cloy, cloz, chix, chiy, chiz),
+            (slox, sloy, sloz, shix, shiy, shiz),
+            sky_ref,
+            num_bounces=num_bounces, chunk_size=chunk_size,
+            n_chunks=n_chunks, super_factor=super_factor, n_super=n_super,
+            n_spheres=n_spheres, stats=stats,
+        )
+
         # camera basis scalars
         ex, ey, ez = cam_ref[0], cam_ref[1], cam_ref[2]
         hx, hy, hz = cam_ref[3], cam_ref[4], cam_ref[5]
@@ -189,356 +580,6 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         tot_g = jnp.zeros((tsub, 128), f32)
         tot_b = jnp.zeros((tsub, 128), f32)
 
-        def sphere_ts(s, carry):
-            """Hit parameter for sphere s (MAX_T when invalid); fully
-            independent per sphere. The quadratic uses the expanded form
-            b = o.d - c.d, c = |o|^2 - 2 o.c + kq with kq = |c|^2 - r^2
-            precomputed per sphere: 4 scalar reads, ~22 VPU ops."""
-            (_, _, ox, oy, oz, dx, dy, dz, od, oo) = carry[:10]
-            cx, cy, cz, kq = scx[s], scy[s], scz[s], skq[s]
-            cd = cx * dx + cy * dy + cz * dz
-            co = cx * ox + cy * oy + cz * oz
-            bq = od - cd
-            cq = oo - 2.0 * co + kq
-            disc = bq * bq - cq
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            nb = -bq
-            t0 = nb - sq
-            t1 = nb + sq
-            # prefer the near root; t1 >= t0 so "t0 in range but beyond
-            # best while t1 is closer" cannot happen (same semantics as
-            # the two-test form in ops/intersect.py)
-            ts = jnp.where(t0 > MIN_T, t0, t1)
-            valid = (disc > 0.0) & (ts > MIN_T)
-            return jnp.where(valid, ts, MAX_T)
-
-        def sweep_span_tree(base, count, carry):
-            """Closest hit over spheres [base, base+count): per-sphere ts
-            values are independent, so the running min is reassociated as
-            a balanced tree — no serial select chain, the VPU runs at
-            issue rate instead of select-latency rate. Tie-breaking stays
-            first-index-wins (strict < at every merge)."""
-            items = []
-            for j in range(count):
-                s = base + j
-                items.append((sphere_ts(s, carry), s.astype(f32)))
-            while len(items) > 1:
-                merged = []
-                for k in range(0, len(items) - 1, 2):
-                    (ta, ia), (tb, ib) = items[k], items[k + 1]
-                    take_b = tb < ta
-                    merged.append((
-                        jnp.minimum(ta, tb), jnp.where(take_b, ib, ia)
-                    ))
-                if len(items) % 2:
-                    merged.append(items[-1])
-                items = merged
-            tm, im = items[0]
-            bt, bidx = carry[0], carry[1]
-            better = tm < bt
-            return (jnp.where(better, tm, bt), jnp.where(better, im, bidx),
-                    *carry[2:])
-
-        def bounce_cond(carry):
-            i = carry[0]
-            alive_f = carry[13]
-            # alive mask carried as f32 0/1: Mosaic can't legalize i1
-            # vectors in while carries.
-            return (i < num_bounces) & (jnp.max(alive_f) > 0.0)
-
-        def bounce_body(carry):
-            (i, ox, oy, oz, dx, dy, dz,
-             tr, tg, tb, cr, cg, cb, alive_f, state) = carry[:15]
-            stat_carry = carry[15:]  # (live_sum, chunks, supers) when stats
-            alive = alive_f > 0.5
-
-            zero = jnp.zeros((tsub, 128), f32)
-            one = jnp.ones((tsub, 128), f32)
-            od = _dot3(ox, oy, oz, dx, dy, dz)
-            oo = _dot3(ox, oy, oz, ox, oy, oz)
-            init = (jnp.full((tsub, 128), MAX_T, f32),
-                    jnp.full((tsub, 128), -1.0, f32),
-                    ox, oy, oz, dx, dy, dz, od, oo)
-            if stats:
-                # trailing scalar counters (chunks entered, supers entered);
-                # sweep_span_tree passes carry[2:] through untouched
-                init = init + (jnp.int32(0), jnp.int32(0))
-            # Robust inverse direction for AABB slab tests (signed epsilon
-            # avoids inf*0 NaNs when a component is exactly zero).
-            eps_d = jnp.float32(1.0e-12)
-            sgn_x = jnp.where(dx >= 0.0, 1.0, -1.0)
-            sgn_y = jnp.where(dy >= 0.0, 1.0, -1.0)
-            sgn_z = jnp.where(dz >= 0.0, 1.0, -1.0)
-            inv_dx = 1.0 / (sgn_x * jnp.maximum(jnp.abs(dx), eps_d))
-            inv_dy = 1.0 / (sgn_y * jnp.maximum(jnp.abs(dy), eps_d))
-            inv_dz = 1.0 / (sgn_z * jnp.maximum(jnp.abs(dz), eps_d))
-
-            def bound_possible(bt, lox_, loy_, loz_, hix_, hiy_, hiz_):
-                """Can any live lane's ray enter this AABB closer than its
-                current best-t? Standard slab test with min/max swap folded
-                into the signed inverse direction."""
-                tx0 = (lox_ - ox) * inv_dx
-                tx1 = (hix_ - ox) * inv_dx
-                ty0 = (loy_ - oy) * inv_dy
-                ty1 = (hiy_ - oy) * inv_dy
-                tz0 = (loz_ - oz) * inv_dz
-                tz1 = (hiz_ - oz) * inv_dz
-                tnear = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.minimum(tz0, tz1),
-                )
-                tfar = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.maximum(tz0, tz1),
-                )
-                return jnp.any(
-                    alive & (tfar >= tnear) & (tfar > MIN_T) & (tnear < bt)
-                )
-
-            def chunk_body(c, carry):
-                def taken(cr):
-                    cr = sweep_span_tree(c * chunk_size, chunk_size, cr)
-                    return _inc(cr, -2) if stats else cr
-
-                return jax.lax.cond(
-                    bound_possible(carry[0], clox[c], cloy[c], cloz[c],
-                                   chix[c], chiy[c], chiz[c]),
-                    taken,
-                    lambda cr: cr,
-                    carry,
-                )
-
-            if two_level:
-                def super_body(sc, carry):
-                    def taken(cr):
-                        if stats:
-                            cr = _inc(cr, -1)
-                        return jax.lax.fori_loop(
-                            sc * super_factor, (sc + 1) * super_factor,
-                            chunk_body, cr,
-                        )
-
-                    return jax.lax.cond(
-                        bound_possible(carry[0], slox[sc], sloy[sc], sloz[sc],
-                                       shix[sc], shiy[sc], shiz[sc]),
-                        taken,
-                        lambda cr: cr,
-                        carry,
-                    )
-
-                res = jax.lax.fori_loop(0, n_super, super_body, init)
-            elif culling:
-                res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-            elif n_spheres <= 64:
-                res = sweep_span_tree(jnp.int32(0), n_spheres, init)
-            else:
-                # Unculled big scene (chunk_size=0 override): a rolled loop
-                # over fixed-size spans — python-unrolling thousands of
-                # sphere evaluations would explode the trace/compile.
-                span = 32
-                pad_n = -(-n_spheres // span) * span  # guarded by wrapper pad
-
-                def span_body(i, carry):
-                    return sweep_span_tree(i * span, span, carry)
-
-                res = jax.lax.fori_loop(0, pad_n // span, span_body, init)
-            if stats:
-                live_sum, chunks_tot, supers_tot = stat_carry
-                live_sum = live_sum + jnp.sum(alive_f)
-                chunks_tot = chunks_tot + res[-2]
-                supers_tot = supers_tot + res[-1]
-                stat_carry = (live_sum, chunks_tot, supers_tot)
-            bt, bidx = res[0], res[1]
-            hit = bt < MAX_T
-
-            # --- winner-attribute retrieval: blend the 12 per-sphere
-            # attributes of each lane's best sphere, visiting only chunks
-            # that contain some lane's winner (coherent tiles touch 1-3).
-            def retrieve_span(lo, hi, carry):
-                def body(s, cr):
-                    m = bidx == s.astype(f32)
-                    vals = (scx[s], scy[s], scz[s], srad[s], smid[s], smx[s],
-                            sa1r[s], sa1g[s], sa1b[s],
-                            sa2r[s], sa2g[s], sa2b[s])
-                    return tuple(
-                        jnp.where(m, v, old) for v, old in zip(vals, cr)
-                    )
-                return jax.lax.fori_loop(lo, hi, body, carry)
-
-            rinit = (zero, zero, zero, one, zero, zero,
-                     zero, zero, zero, zero, zero, zero)
-            if culling:
-                def retr_chunk(c, carry):
-                    lo_f = (c * chunk_size).astype(f32)
-                    hi_f = ((c + 1) * chunk_size).astype(f32)
-                    present = (bidx >= lo_f) & (bidx < hi_f)
-                    return jax.lax.cond(
-                        jnp.any(present),
-                        lambda cr: retrieve_span(
-                            c * chunk_size, (c + 1) * chunk_size, cr),
-                        lambda cr: cr,
-                        carry,
-                    )
-                rres = jax.lax.fori_loop(0, n_chunks, retr_chunk, rinit)
-            else:
-                rres = retrieve_span(0, n_spheres, rinit)
-            (bcx, bcy, bcz, brad, bmid, bmx,
-             b1r, b1g, b1b, b2r, b2g, b2b) = rres
-            px = ox + bt * dx
-            py = oy + bt * dy
-            pz = oz + bt * dz
-            inv_r = 1.0 / brad
-            nx = (px - bcx) * inv_r
-            ny = (py - bcy) * inv_r
-            nz = (pz - bcz) * inv_r
-
-            state, r1 = _rng_float(state)
-            state, r2 = _rng_float(state)
-            state, r3 = _rng_float(state)
-            state, r4 = _rng_float(state)
-
-            # --- diffuse direction (pixarOnb + cosine hemisphere) ---
-            sgn = jnp.where(nz >= 0.0, 1.0, -1.0)
-            a = -1.0 / (sgn + nz)
-            bb = nx * ny * a
-            t1x = 1.0 + sgn * nx * nx * a
-            t1y = sgn * bb
-            t1z = -sgn * nx
-            t2x = bb
-            t2y = sgn + ny * ny * a
-            t2z = -ny
-            sqr2 = jnp.sqrt(r2)
-            zl = jnp.sqrt(jnp.maximum(0.0, 1.0 - r2))
-            phi = TWO_PI * r1
-            xl = jnp.cos(phi) * sqr2
-            yl = jnp.sin(phi) * sqr2
-            difx = xl * t1x + yl * t2x + zl * nx
-            dify = xl * t1y + yl * t2y + zl * ny
-            difz = xl * t1z + yl * t2z + zl * nz
-            ndw = _dot3(nx, ny, nz, difx, dify, difz)
-            lam_ratio = (FRAC_1_PI * jnp.maximum(EPS, ndw)) / jnp.maximum(
-                EPS, ndw * FRAC_1_PI
-            )
-
-            # --- unit-ball point (metal fuzz / missing material) ---
-            rr = jnp.power(r1, 1.0 / 3.0)
-            cth = 1.0 - 2.0 * r2
-            sth = jnp.sqrt(jnp.maximum(0.0, 1.0 - cth * cth))
-            ph3 = TWO_PI * r3
-            ballx = rr * sth * jnp.cos(ph3)
-            bally = rr * sth * jnp.sin(ph3)
-            ballz = rr * cth
-
-            # --- metal ---
-            ddn2 = 2.0 * _dot3(dx, dy, dz, nx, ny, nz)
-            rflx = dx - ddn2 * nx
-            rfly = dy - ddn2 * ny
-            rflz = dz - ddn2 * nz
-            metx = rflx + bmx * ballx
-            mety = rfly + bmx * bally
-            metz = rflz + bmx * ballz
-
-            # --- dielectric (RTiOW-correct; see ops/scatter.py) ---
-            ddn = 0.5 * ddn2
-            front = ddn < 0.0
-            osx = jnp.where(front, nx, -nx)
-            osy = jnp.where(front, ny, -ny)
-            osz = jnp.where(front, nz, -nz)
-            eta = jnp.where(front, 1.0 / bmx, bmx)
-            cosine = jnp.where(front, -ddn, bmx * ddn)
-            dt = _dot3(dx, dy, dz, osx, osy, osz)
-            disc_d = 1.0 - eta * eta * (1.0 - dt * dt)
-            can_refract = disc_d > 0.0
-            sqd = jnp.sqrt(jnp.maximum(disc_d, 0.0))
-            refx = eta * (dx - dt * osx) - sqd * osx
-            refy = eta * (dy - dt * osy) - sqd * osy
-            refz = eta * (dz - dt * osz) - sqd * osz
-            r0 = (1.0 - bmx) / (1.0 + bmx)
-            r0 = r0 * r0
-            omc = 1.0 - jnp.clip(cosine, 0.0, 1.0)
-            omc2 = omc * omc
-            schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
-            reflect_prob = jnp.where(can_refract, schlick, 1.0)
-            use_reflect = r4 < reflect_prob
-            dlx = jnp.where(use_reflect, rflx, refx)
-            dly = jnp.where(use_reflect, rfly, refy)
-            dlz = jnp.where(use_reflect, rflz, refz)
-
-            # --- checkerboard albedo (3D sine parity, wgsl:300-307) ---
-            sines = jnp.sin(5.0 * px) * jnp.sin(5.0 * py) * jnp.sin(5.0 * pz)
-            even = sines < 0.0
-            chkr = jnp.where(even, b1r, b2r)
-            chkg = jnp.where(even, b1g, b2g)
-            chkb = jnp.where(even, b1b, b2b)
-
-            # --- select by material id ---
-            is_lam = bmid == _LAMBERTIAN
-            is_met = bmid == _METAL
-            is_die = bmid == _DIELECTRIC
-            is_chk = bmid == _CHECKERBOARD
-            is_dif = is_lam | is_chk
-
-            def sel(m, yes, no):
-                return jnp.where(m, yes, no)
-
-            missx = nx + ballx
-            missy = ny + bally
-            missz = nz + ballz
-            ndx = sel(is_dif, difx, sel(is_met, metx, sel(is_die, dlx, missx)))
-            ndy = sel(is_dif, dify, sel(is_met, mety, sel(is_die, dly, missy)))
-            ndz = sel(is_dif, difz, sel(is_met, metz, sel(is_die, dlz, missz)))
-
-            att_r = sel(is_lam, b1r * lam_ratio,
-                        sel(is_chk, chkr * lam_ratio,
-                            sel(is_met, b1r, sel(is_die, 1.0, _PINK[0]))))
-            att_g = sel(is_lam, b1g * lam_ratio,
-                        sel(is_chk, chkg * lam_ratio,
-                            sel(is_met, b1g, sel(is_die, 1.0, _PINK[1]))))
-            att_b = sel(is_lam, b1b * lam_ratio,
-                        sel(is_chk, chkb * lam_ratio,
-                            sel(is_met, b1b, sel(is_die, 1.0, _PINK[2]))))
-
-            inv_len = jax.lax.rsqrt(
-                jnp.maximum(1.0e-24, _dot3(ndx, ndy, ndz, ndx, ndy, ndz))
-            )
-            ndx = ndx * inv_len
-            ndy = ndy * inv_len
-            ndz = ndz * inv_len
-
-            # --- sky on miss (HW-form distribution) ---
-            cos_theta = jnp.abs(jnp.clip(dy, -1.0, 1.0))
-            cos_gamma = jnp.clip(
-                _dot3(dx, dy, dz, sunx, suny, sunz), -1.0, 1.0
-            )
-            gamma = acos_approx(cos_gamma)
-            sky_r = sky_ref[27] * sky_channel(sky_ref, 0, cos_theta, gamma, cos_gamma)
-            sky_g = sky_ref[28] * sky_channel(sky_ref, 9, cos_theta, gamma, cos_gamma)
-            sky_b = sky_ref[29] * sky_channel(sky_ref, 18, cos_theta, gamma, cos_gamma)
-
-            active = alive & hit
-            miss = alive & (~hit)
-            # emissive area light: the path ends here with x * albedo
-            lit = active & (bmid == _EMISSIVE)
-            scattering = active & (bmid != _EMISSIVE)
-            tr = jnp.where(scattering, tr * att_r, tr)
-            tg = jnp.where(scattering, tg * att_g, tg)
-            tb = jnp.where(scattering, tb * att_b, tb)
-            cr = jnp.where(miss, sky_r, cr)
-            cg = jnp.where(miss, sky_g, cg)
-            cb = jnp.where(miss, sky_b, cb)
-            cr = jnp.where(lit, bmx * b1r, cr)
-            cg = jnp.where(lit, bmx * b1g, cg)
-            cb = jnp.where(lit, bmx * b1b, cb)
-            ox = jnp.where(scattering, px, ox)
-            oy = jnp.where(scattering, py, oy)
-            oz = jnp.where(scattering, pz, oz)
-            dx = jnp.where(scattering, ndx, dx)
-            dy = jnp.where(scattering, ndy, dy)
-            dz = jnp.where(scattering, ndz, dz)
-            return (i + 1, ox, oy, oz, dx, dy, dz,
-                    tr, tg, tb, cr, cg, cb,
-                    jnp.where(scattering, 1.0, 0.0).astype(f32),
-                    state) + stat_carry
 
         if stats:
             st_iters = jnp.int32(0)
