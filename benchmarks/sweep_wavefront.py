@@ -1,0 +1,84 @@
+"""Wavefront-vs-megakernel benchmark on the real chip.
+
+    python benchmarks/sweep_wavefront.py [scene] [cuts ...]
+    e.g. python benchmarks/sweep_wavefront.py rtiow 2 3 2,4 2,3,4,5,6,7
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weekend_raytracer_tpu.models import scenes
+    from weekend_raytracer_tpu.models.camera import CameraBasis
+    from weekend_raytracer_tpu.models.sky import SkyParams, to_sky_state
+    from weekend_raytracer_tpu.ops.pallas.megakernel import render_image_pallas
+    from weekend_raytracer_tpu.ops.pallas.wavefront import render_image_wavefront
+
+    args = sys.argv[1:]
+    scene_name = args[0] if args and not args[0][0].isdigit() else "rtiow"
+    cut_specs = [a for a in args if a[0].isdigit()] or ["2"]
+    spp, bounces = 4, 8
+    if scene_name == "rtiow":
+        desc, cam, (w, h) = (scenes.rtiow_final(), scenes.rtiow_final_camera(),
+                             (1920, 1080))
+    elif scene_name == "random10k":
+        desc, cam, (w, h) = (scenes.random_spheres(10000),
+                             scenes.random_spheres_camera(), (3840, 2160))
+    elif scene_name == "three":
+        desc, cam, (w, h) = (scenes.three_spheres(),
+                             scenes.three_spheres_camera(), (1280, 720))
+    else:
+        raise SystemExit(scene_name)
+
+    scene = desc.build()
+    basis = CameraBasis.create(cam, (w, h))
+    sky = to_sky_state(SkyParams())
+
+    def bench(tag, fn):
+        accum = jnp.zeros((w * h, 3), dtype=jnp.float32)
+        t0 = time.perf_counter()
+        accum = fn(accum, jnp.uint32(0), jnp.bool_(True), scene, sky, basis)
+        accum.block_until_ready()
+        np.asarray(accum[:1])
+        compile_s = time.perf_counter() - t0
+        n_frames = 6
+        t0 = time.perf_counter()
+        for f in range(1, 1 + n_frames):
+            accum = fn(accum, jnp.uint32(f), jnp.bool_(False),
+                       scene, sky, basis)
+        accum.block_until_ready()
+        np.asarray(accum[:1])
+        dt = time.perf_counter() - t0
+        rays = w * h * spp * bounces * n_frames
+        print(json.dumps({
+            "scene": scene_name, "variant": tag,
+            "mrays": round(rays / dt / 1e6, 1),
+            "ms_per_frame": round(dt / n_frames * 1e3, 2),
+            "compile_s": round(compile_s, 1),
+            "mean": float(jnp.mean(accum)),
+        }), flush=True)
+
+    bench("megakernel", jax.jit(partial(
+        render_image_pallas, width=w, height=h, spp=spp,
+        num_bounces=bounces), donate_argnums=(0,)))
+    for spec in cut_specs:
+        cuts = tuple(int(c) for c in spec.split(",") if c)
+        bench(f"wavefront{cuts}", jax.jit(partial(
+            render_image_wavefront, width=w, height=h, spp=spp,
+            num_bounces=bounces, phase_cuts=cuts), donate_argnums=(0,)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

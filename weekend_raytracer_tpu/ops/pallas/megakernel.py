@@ -661,6 +661,87 @@ def _is_cpu() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def pack_camera(basis: CameraBasis) -> jnp.ndarray:
+    """Camera basis as the 20-float SMEM vector the kernels read."""
+    return jnp.concatenate([
+        basis.eye, basis.horizontal, basis.vertical, basis.u, basis.v,
+        basis.lower_left_corner, basis.lens_radius[None],
+        jnp.zeros((1,), jnp.float32),
+    ]).astype(jnp.float32)
+
+
+def pack_sky(sky: SkyState) -> jnp.ndarray:
+    """Sky state as the 33-float SMEM vector (27 params + 3 radiances +
+    sun direction)."""
+    return jnp.concatenate([
+        sky.params.reshape(27), sky.radiances, sky.sun_direction
+    ]).astype(jnp.float32)
+
+
+def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
+                         chunk_size: int, super_factor: int):
+    """Build the 13 per-sphere SMEM attribute arrays (+ prefolded material
+    attributes and the quadratic constant kq = |c|^2 - r^2) and the
+    morton-chunk / super-chunk AABB arrays for tile-granularity culling.
+
+    Returns (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks,
+    n_super). Shared by the fused megakernel and the compacted-wavefront
+    kernels (ops/pallas/wavefront.py).
+    """
+    sph = scene.spheres
+    mat = scene.materials
+    midx = sph.material_idx
+    s_attrs = (
+        sph.centers[:, 0], sph.centers[:, 1], sph.centers[:, 2], sph.radii,
+        mat.ids[midx].astype(jnp.float32), mat.x[midx],
+        mat.albedo1[midx, 0], mat.albedo1[midx, 1], mat.albedo1[midx, 2],
+        mat.albedo2[midx, 0], mat.albedo2[midx, 1], mat.albedo2[midx, 2],
+    )
+    n_spheres = int(sph.centers.shape[0])
+    # 13th attribute: kq (appended after the chunk sort so it rides the
+    # same reorder)
+
+    # Morton-chunk culling pays off once there are a few chunks' worth of
+    # spheres; tiny scenes stay on the plain sweep.
+    use_culling = chunk_size > 0 and n_spheres >= 2 * chunk_size
+    z1 = jnp.zeros((1,), jnp.float32)
+    super_arrays = (z1,) * 6
+    n_super = 0
+    if use_culling:
+        from ..bvh import build_chunks, order_front_to_back, super_bounds
+
+        chunked = build_chunks(s_attrs, chunk_size)
+        # Visit near chunks first: tightens best-t early so far bounds
+        # fail the cull (pure permutation, identical results).
+        chunked = order_front_to_back(chunked, basis.eye, chunk_size)
+        s_attrs = chunked.attrs
+        n_spheres = int(s_attrs[0].shape[0])
+        n_chunks = n_spheres // chunk_size
+        chunk_arrays = chunked.bounds
+        if n_chunks >= 2 * super_factor:
+            chunk_arrays, super_arrays = super_bounds(chunked, super_factor)
+            n_super = int(chunk_arrays[0].shape[0]) // super_factor
+    else:
+        chunk_arrays = (z1,) * 6
+        n_chunks = 0
+        if n_spheres > 64:
+            # the kernel's rolled unculled sweep reads 32-sphere spans;
+            # pad with duplicates of the last sphere (harmless for
+            # closest-hit) so the final span stays in bounds
+            pad_s = (-n_spheres) % 32
+            if pad_s:
+                s_attrs = tuple(
+                    jnp.concatenate([a, jnp.broadcast_to(a[-1], (pad_s,))])
+                    for a in s_attrs
+                )
+                n_spheres = int(s_attrs[0].shape[0])
+
+    cx_, cy_, cz_, rad_ = s_attrs[0], s_attrs[1], s_attrs[2], s_attrs[3]
+    kq = cx_ * cx_ + cy_ * cy_ + cz_ * cz_ - rad_ * rad_
+    s_attrs = s_attrs + (kq,)
+    return s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks, n_super
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "tsub",
@@ -722,66 +803,12 @@ def render_image_pallas(
     perm = jnp.asarray(perm.astype(_np.int32))
     inv_perm = jnp.asarray(inv_perm)
 
-    sph = scene.spheres
-    mat = scene.materials
-    midx = sph.material_idx
-    s_attrs = (
-        sph.centers[:, 0], sph.centers[:, 1], sph.centers[:, 2], sph.radii,
-        mat.ids[midx].astype(jnp.float32), mat.x[midx],
-        mat.albedo1[midx, 0], mat.albedo1[midx, 1], mat.albedo1[midx, 2],
-        mat.albedo2[midx, 0], mat.albedo2[midx, 1], mat.albedo2[midx, 2],
-    )
-    n_spheres = int(sph.centers.shape[0])
-    # 13th attribute: kq = |c|^2 - r^2 (quadratic constant; appended after
-    # the chunk sort so it rides the same reorder)
+    (s_attrs, chunk_arrays, super_arrays,
+     n_spheres, n_chunks, n_super) = prepare_scene_arrays(
+        scene, basis, chunk_size, super_factor)
 
-    # Morton-chunk culling pays off once there are a few chunks' worth of
-    # spheres; tiny scenes stay on the plain sweep.
-    use_culling = chunk_size > 0 and n_spheres >= 2 * chunk_size
-    z1 = jnp.zeros((1,), jnp.float32)
-    super_arrays = (z1,) * 6
-    n_super = 0
-    if use_culling:
-        from ..bvh import build_chunks, order_front_to_back, super_bounds
-
-        chunked = build_chunks(s_attrs, chunk_size)
-        # Visit near chunks first: tightens best-t early so far bounds
-        # fail the cull (pure permutation, identical results).
-        chunked = order_front_to_back(chunked, basis.eye, chunk_size)
-        s_attrs = chunked.attrs
-        n_spheres = int(s_attrs[0].shape[0])
-        n_chunks = n_spheres // chunk_size
-        chunk_arrays = chunked.bounds
-        if n_chunks >= 2 * super_factor:
-            chunk_arrays, super_arrays = super_bounds(chunked, super_factor)
-            n_super = int(chunk_arrays[0].shape[0]) // super_factor
-    else:
-        chunk_arrays = (z1,) * 6
-        n_chunks = 0
-        if n_spheres > 64:
-            # the kernel's rolled unculled sweep reads 32-sphere spans;
-            # pad with duplicates of the last sphere (harmless for
-            # closest-hit) so the final span stays in bounds
-            pad_s = (-n_spheres) % 32
-            if pad_s:
-                s_attrs = tuple(
-                    jnp.concatenate([a, jnp.broadcast_to(a[-1], (pad_s,))])
-                    for a in s_attrs
-                )
-                n_spheres = int(s_attrs[0].shape[0])
-
-    cx_, cy_, cz_, rad_ = s_attrs[0], s_attrs[1], s_attrs[2], s_attrs[3]
-    kq = cx_ * cx_ + cy_ * cy_ + cz_ * cz_ - rad_ * rad_
-    s_attrs = s_attrs + (kq,)
-
-    cam_vec = jnp.concatenate([
-        basis.eye, basis.horizontal, basis.vertical, basis.u, basis.v,
-        basis.lower_left_corner, basis.lens_radius[None],
-        jnp.zeros((1,), jnp.float32),
-    ]).astype(jnp.float32)
-    sky_vec = jnp.concatenate([
-        sky.params.reshape(27), sky.radiances, sky.sun_direction
-    ]).astype(jnp.float32)
+    cam_vec = pack_camera(basis)
+    sky_vec = pack_sky(sky)
     meta = jnp.stack([
         frame.astype(jnp.uint32),
         clear.astype(jnp.uint32),
