@@ -231,17 +231,26 @@ def test_render_stats_warmup():
     assert stats.rays_per_sec > 0
 
 
-def test_pallas_backend_rejects_image_textures():
-    """Forcing backend='pallas' on an image-textured scene raises a typed
-    error instead of silently rendering mean-texel albedos (ADVICE r1)."""
-    from weekend_raytracer_tpu import RenderParamsValidationError
+def test_pallas_backend_renders_image_textures():
+    """backend='auto' now picks the fused kernel even for image-textured
+    scenes (in-kernel mipped texture LUT, VERDICT r1 #2); the result must
+    statistically match the full-resolution XLA gather path."""
+    import numpy as np
 
     desc = scenes.textured_spheres()
     params = RenderParams(
         camera=scenes.textured_spheres_camera(),
-        viewport_size=(32, 18),
+        viewport_size=(64, 36),
         sampling=SamplingParams(max_samples_per_pixel=4,
-                                num_samples_per_pixel=2, num_bounces=4),
+                                num_samples_per_pixel=4, num_bounces=6),
     )
-    with pytest.raises(RenderParamsValidationError):
-        Renderer(desc, params, backend="pallas")
+    rp = Renderer(desc, params, backend="auto")
+    assert rp.backend == "pallas"
+    rp.render()
+    rx = Renderer(desc, params, backend="xla")
+    rx.render()
+    a = np.asarray(rp.mean_radiance())
+    b = np.asarray(rx.mean_radiance())
+    rel = abs(a.mean() - b.mean()) / b.mean()
+    assert rel < 5e-3, rel
+    assert np.isclose(a, b, rtol=2e-2, atol=2e-3).all(-1).mean() > 0.9

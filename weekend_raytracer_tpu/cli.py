@@ -82,7 +82,7 @@ def main(argv=None) -> int:
 
     backend = args.backend
     if backend == "auto":
-        backend = "pallas" if scene.materials.all_solid else "xla"
+        backend = "pallas"
     mesh = None
     if args.tile_shards is not None or args.spp_shards > 1:
         from .parallel.sharding import make_mesh

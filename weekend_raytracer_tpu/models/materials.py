@@ -90,17 +90,21 @@ class MaterialTable:
     albedo2: jnp.ndarray  # f32 [M, 3]
 
     def tree_flatten(self):
-        # all_solid rides as static aux data so it survives jit/device_put
-        # round-trips (it drives backend auto-selection).
+        # all_solid + the static texture layout ride as aux data so they
+        # survive jit/device_put round-trips (they drive backend selection
+        # and the Pallas kernels' static texture-LUT layout).
         return (
             (self.ids, self.tex1, self.tex2, self.x, self.pool, self.albedo1, self.albedo2),
-            getattr(self, "_all_solid", False),
+            (getattr(self, "_all_solid", False),
+             getattr(self, "_tex_meta", ())),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         table = cls(*children)
-        object.__setattr__(table, "_all_solid", aux)
+        all_solid, tex_meta = aux if isinstance(aux, tuple) else (aux, ())
+        object.__setattr__(table, "_all_solid", all_solid)
+        object.__setattr__(table, "_tex_meta", tex_meta)
         return table
 
     @property
@@ -121,6 +125,10 @@ class MaterialTable:
             a1.append(m.tex1.mean_rgb)
             a2.append(m.tex2.mean_rgb)
             all_solid &= m.tex1.is_solid and m.tex2.is_solid
+        # static (width, height, offset) layout per material slot, for the
+        # Pallas texture LUT (descriptor *values* are also in tex1/tex2
+        # device arrays, but kernels need them at trace time)
+        tex_meta = tuple((tuple(d1), tuple(d2)) for d1, d2 in zip(t1, t2))
         table = MaterialTable(
             ids=jnp.asarray(np.asarray(ids, dtype=np.int32)),
             tex1=jnp.asarray(np.asarray(t1, dtype=np.int32)),
@@ -131,7 +139,13 @@ class MaterialTable:
             albedo2=jnp.asarray(np.stack(a2).astype(np.float32)),
         )
         object.__setattr__(table, "_all_solid", all_solid)
+        object.__setattr__(table, "_tex_meta", tex_meta)
         return table
+
+    @property
+    def tex_meta(self) -> tuple:
+        """Static ((w, h, off) tex1, (w, h, off) tex2) per material slot."""
+        return getattr(self, "_tex_meta", ())
 
     @property
     def all_solid(self) -> bool:

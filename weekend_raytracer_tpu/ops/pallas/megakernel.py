@@ -24,11 +24,12 @@ SURVEY.md §2 — re-architected for the VPU instead of a SIMT rasterizer:
  - materials are evaluated branchlessly and one-hot selected (the WGSL
    `switch`, wgsl:174-202).
 
-Texture support: per-sphere *solid* albedos only (prefolded from the
-material table, including both checkerboard colors — checkerboard is
-procedural and fully supported). Scenes with image textures render on the
-XLA wavefront path, which gathers from the texture pool; the benchmark
-scenes (RTiOW ladder) are all solid-color.
+Texture support: solid albedos are prefolded from the material table
+(including both checkerboard colors); image textures are sampled in-kernel
+from a packed-RGB8 LUT pool via per-lane gathers along lanes, mipped to
+<=8192 texels per texture (build_kernel_texture_pool; the wgsl
+textureLookup capability at raytracer.wgsl:377-387). The XLA wavefront
+path remains the full-resolution reference.
 """
 from __future__ import annotations
 
@@ -58,6 +59,29 @@ _DIELECTRIC = float(_mat.DIELECTRIC)
 _CHECKERBOARD = float(_mat.CHECKERBOARD)
 _EMISSIVE = float(_mat.EMISSIVE)
 _PINK = _mat.ERROR_PINK
+
+
+HALF_PI = 0.5 * PI
+
+
+def atan2_approx(y, x):
+    """Four-quadrant arctangent (Mosaic has no atan2 lowering).
+
+    Octant reduction + Abramowitz & Stegun 4.4.49 minimax polynomial on
+    [0, 1] (|err| <= ~1e-5 rad): ample for texture-coordinate mapping.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.minimum(ax, ay)
+    den = jnp.maximum(ax, ay)
+    z = num / jnp.maximum(den, 1.0e-30)
+    z2 = z * z
+    r = z * (0.9998660 + z2 * (-0.3302995 + z2 * (
+        0.1801410 + z2 * (-0.0851330 + z2 * 0.0208351))))
+    r = jnp.where(swap, HALF_PI - r, r)
+    r = jnp.where(x < 0.0, PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
 
 
 def acos_approx(x):
@@ -122,27 +146,78 @@ def _inc(carry, pos):
 
 def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                  n_chunks, super_factor, n_super, n_spheres,
-                 stats: bool = False):
+                 stats: bool = False, tex_pool_ref=None):
     """Build the (cond, body) pair for the per-bounce physics while_loop.
 
     One bounce = culled closest-hit sweep + winner-attribute retrieval +
-    branchless material scatter + sky on miss (raytracer.wgsl:130-169),
-    operating on SoA register blocks of any (S, 128) shape. Shared by the
-    fused megakernel (ops/pallas/megakernel.py) and the compacted-wavefront
-    kernels (ops/pallas/wavefront.py).
+    [image-texture LUT when tex_pool_ref is given] + branchless material
+    scatter + sky on miss (raytracer.wgsl:130-169), operating on SoA
+    register blocks of any (S, 128) shape. Shared by the fused megakernel
+    (ops/pallas/megakernel.py) and the compacted-wavefront kernels
+    (ops/pallas/wavefront.py).
 
     Carry layout (all [S,128] f32 unless noted):
       (i:i32, ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
        alive_f, state:u32 [, live_sum:f32, chunks:i32, supers:i32])
     """
-    (scx, scy, scz, srad, smid, smx,
-     sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq) = scene
+    textures = tex_pool_ref is not None
+    if textures:
+        (scx, scy, scz, srad, smid, smx,
+         sa1r, sa1g, sa1b, sa2r, sa2g, sa2b,
+         st1b, st1w, st1h, st2b, st2w, st2h, skq) = scene
+    else:
+        (scx, scy, scz, srad, smid, smx,
+         sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq) = scene
     (clox, cloy, cloz, chix, chiy, chiz) = bounds
     (slox, sloy, sloz, shix, shiy, shiz) = supers
     f32 = jnp.float32
     culling = n_chunks > 0
     two_level = n_super > 0
     sunx, suny, sunz = sky_ref[30], sky_ref[31], sky_ref[32]
+
+    def tex_lookup(base, tw, th, u, v, mask, fr, fg, fb):
+        """Per-lane image-texture fetch (reference textureLookup,
+        wgsl:377-387 + the tex() UV quantization of reference.py:133-139).
+
+        The packed-RGB8 pool lives in VMEM as (rows, 128) i32; each lane
+        computes its texel's (row, col) and the loop walks only
+        [min_row, max_row] of the lanes that actually need a fetch,
+        broadcasting one pool row at a time and gathering along lanes
+        (Mosaic supports per-lane gather on the lane dim only). Lanes with
+        solid textures (base < 0) keep their prefolded albedo.
+        """
+        uu = jnp.clip(u, 0.0, 1.0)
+        vv = 1.0 - jnp.clip(v, 0.0, 1.0)
+        j = jnp.minimum(jnp.floor(uu * tw), tw - 1.0)
+        i = jnp.minimum(jnp.floor(vv * th), th - 1.0)
+        valid = mask & (base >= 0.0)
+        flat = jnp.where(valid, base * 128.0 + i * tw + j, 0.0)
+        flat_i = flat.astype(jnp.int32)
+        row = flat_i >> 7
+        col = flat_i & 127
+        big = jnp.int32(1 << 30)
+        rlo = jnp.min(jnp.where(valid, row, big))
+        rhi = jnp.max(jnp.where(valid, row, -1))
+
+        def body(r, acc):
+            # packed values are < 2^24, exactly representable in f32, so
+            # the i32 -> f32 convert for the (f32-proven) lane gather is
+            # lossless
+            vec = jnp.broadcast_to(
+                tex_pool_ref[pl.ds(r, 1), :], row.shape
+            ).astype(f32)
+            g = jnp.take_along_axis(vec, col, axis=1)
+            return jnp.where(row == r, g, acc)
+
+        # zero-trip when no lane needs a fetch (rlo > rhi)
+        packed_f = jax.lax.fori_loop(
+            rlo, rhi + 1, body, jnp.zeros(row.shape, f32))
+        packed = packed_f.astype(jnp.int32)
+        tr_ = ((packed >> 16) & 255).astype(f32) * f32(1.0 / 255.0)
+        tg_ = ((packed >> 8) & 255).astype(f32) * f32(1.0 / 255.0)
+        tb_ = (packed & 255).astype(f32) * f32(1.0 / 255.0)
+        return (jnp.where(valid, tr_, fr), jnp.where(valid, tg_, fg),
+                jnp.where(valid, tb_, fb))
 
     def sphere_ts(s, carry):
         """Hit parameter for sphere s (MAX_T when invalid); fully
@@ -315,6 +390,9 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                 vals = (scx[s], scy[s], scz[s], srad[s], smid[s], smx[s],
                         sa1r[s], sa1g[s], sa1b[s],
                         sa2r[s], sa2g[s], sa2b[s])
+                if textures:
+                    vals = vals + (st1b[s], st1w[s], st1h[s],
+                                   st2b[s], st2w[s], st2h[s])
                 return tuple(
                     jnp.where(m, v, old) for v, old in zip(vals, cr)
                 )
@@ -322,6 +400,10 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
 
         rinit = (zero, zero, zero, one, zero, zero,
                  zero, zero, zero, zero, zero, zero)
+        if textures:
+            # tex descriptor attrs; base = -1 marks "no image texture"
+            neg1 = jnp.full_like(zero, -1.0)
+            rinit = rinit + (neg1, zero, zero, neg1, zero, zero)
         if culling:
             def retr_chunk(c, carry):
                 lo_f = (c * chunk_size).astype(f32)
@@ -338,7 +420,7 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
         else:
             rres = retrieve_span(0, n_spheres, rinit)
         (bcx, bcy, bcz, brad, bmid, bmx,
-         b1r, b1g, b1b, b2r, b2g, b2b) = rres
+         b1r, b1g, b1b, b2r, b2g, b2b) = rres[:12]
         px = ox + bt * dx
         py = oy + bt * dy
         pz = oz + bt * dz
@@ -346,6 +428,20 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
         nx = (px - bcx) * inv_r
         ny = (py - bcy) * inv_r
         nz = (pz - bcz) * inv_r
+
+        if textures:
+            # spherical UV of the hit (sphereIntersection, wgsl:431-440)
+            # + image fetch replacing the prefolded albedos
+            (w1b, w1w, w1h, w2b, w2w, w2h) = rres[12:18]
+            need = alive & hit
+            theta = acos_approx(jnp.clip(-ny, -1.0, 1.0))
+            phi = atan2_approx(-nz, nx) + PI
+            u = phi * f32(1.0 / TWO_PI)
+            v = theta * FRAC_1_PI
+            b1r, b1g, b1b = tex_lookup(w1b, w1w, w1h, u, v, need,
+                                       b1r, b1g, b1b)
+            b2r, b2g, b2b = tex_lookup(w2b, w2w, w2h, u, v, need,
+                                       b2r, b2g, b2b)
 
         state, r1 = _rng_float(state)
         state, r2 = _rng_float(state)
@@ -501,7 +597,8 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
 def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  n_spheres: int, tsub: int, chunk_size: int, n_chunks: int,
                  block_w: int, tiles_x: int, super_factor: int,
-                 n_super: int, full_height: int, stats: bool = False):
+                 n_super: int, full_height: int, stats: bool = False,
+                 textures: bool = False):
     """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
     (ops/bvh.py): whole-tile AABB slab tests skip chunk bodies (and, for
     big scenes, whole super-chunks of chunks).
@@ -513,17 +610,21 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
     tile = tsub * 128
     block_h = tile // block_w
     f32 = jnp.float32
-    culling = n_chunks > 0
-    two_level = n_super > 0
     assert block_w & (block_w - 1) == 0, "block_w must be a power of two"
     bw_shift = block_w.bit_length() - 1
+    n_attr = 19 if textures else 13
 
-    def kernel(meta_ref, cam_ref, sky_ref,
-               scx, scy, scz, srad, smid, smx,
-               sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq,
-               clox, cloy, cloz, chix, chiy, chiz,
-               slox, sloy, sloz, shix, shiy, shiz,
-               acc_in, acc_out, *maybe_stats_ref):
+    def kernel(meta_ref, cam_ref, sky_ref, *refs):
+        scene = refs[0:n_attr]
+        bounds = refs[n_attr:n_attr + 6]
+        supers = refs[n_attr + 6:n_attr + 12]
+        rest = refs[n_attr + 12:]
+        if textures:
+            tex_pool_ref, rest = rest[0], rest[1:]
+        else:
+            tex_pool_ref = None
+        acc_in, acc_out = rest[0], rest[1]
+        maybe_stats_ref = rest[2:]
         t = pl.program_id(0)
         frame = meta_ref[0]  # uint32 scalar
         clear = meta_ref[1] == jnp.uint32(1)
@@ -553,14 +654,10 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
         frame_hash = _jenkins(frame)
 
         bounce_cond, bounce_body = _make_bounce(
-            (scx, scy, scz, srad, smid, smx,
-             sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq),
-            (clox, cloy, cloz, chix, chiy, chiz),
-            (slox, sloy, sloz, shix, shiy, shiz),
-            sky_ref,
+            scene, bounds, supers, sky_ref,
             num_bounces=num_bounces, chunk_size=chunk_size,
             n_chunks=n_chunks, super_factor=super_factor, n_super=n_super,
-            n_spheres=n_spheres, stats=stats,
+            n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
         )
 
         # camera basis scalars
@@ -678,6 +775,75 @@ def pack_sky(sky: SkyState) -> jnp.ndarray:
     ]).astype(jnp.float32)
 
 
+def build_kernel_texture_pool(mat, budget_texels: int = 8192):
+    """Pack the image textures into the kernel LUT pool.
+
+    Each image texture is mipped (box filter, or strided sampling when the
+    scale doesn't divide) until w*h <= budget_texels, quantized to packed
+    RGB8 int32 (the source images are 8-bit anyway), and laid out
+    row-major in 128-texel rows aligned to row boundaries. The in-kernel
+    lookup walks only the rows the tile's winning texels live in,
+    per-lane-gathering along lanes (benchmarks/probe_mosaic.py).
+
+    Returns (pool [rows,128] i32, desc1 [M,3] f32, desc2 [M,3] f32) where a
+    descriptor is (base_row * 1.0, kernel_w, kernel_h), base_row = -1 for
+    solid textures; or None when no material has an image texture.
+    Implements the device half of the reference's textureLookup
+    (raytracer.wgsl:377-387) for the fused kernels.
+    """
+    import numpy as _np
+
+    meta = mat.tex_meta
+    if not meta:
+        return None
+    kern_descs = {}  # (w, h, off) -> (base_row, wk, hk)
+    chunks = []
+    next_row = 0
+    for d1, d2 in meta:
+        for d in (d1, d2):
+            w, h, off = d
+            if w * h <= 1 or d in kern_descs:
+                continue
+            k = 0
+            while (w >> k) * (h >> k) > budget_texels:
+                k += 1
+            s = 1 << k
+            tex = mat.pool[off:off + w * h].reshape(h, w, 3)
+            if k:
+                if w % s == 0 and h % s == 0:
+                    tex = tex.reshape(h // s, s, w // s, s, 3).mean((1, 3))
+                else:
+                    tex = tex[::s, ::s]
+            hk, wk = int(tex.shape[0]), int(tex.shape[1])
+            q = (jnp.clip(tex, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+            packed = ((q[..., 0] << 16) | (q[..., 1] << 8) | q[..., 2])
+            flat = packed.reshape(-1)
+            pad = (-flat.shape[0]) % 128
+            if pad:
+                flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int32)])
+            kern_descs[d] = (next_row, wk, hk)
+            chunks.append(flat)
+            next_row += flat.shape[0] // 128
+    if not chunks:
+        return None
+    pool = jnp.concatenate(chunks).reshape(-1, 128)
+    pad_rows = (-pool.shape[0]) % 8
+    if pad_rows:
+        pool = jnp.concatenate(
+            [pool, jnp.zeros((pad_rows, 128), jnp.int32)])
+
+    def desc_arr(slot):
+        out = _np.full((len(meta), 3), -1.0, _np.float32)
+        for m, pair in enumerate(meta):
+            d = pair[slot]
+            if d in kern_descs:
+                base, wk, hk = kern_descs[d]
+                out[m] = (float(base), float(wk), float(hk))
+        return jnp.asarray(out)
+
+    return pool, desc_arr(0), desc_arr(1)
+
+
 def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
                          chunk_size: int, super_factor: int):
     """Build the 13 per-sphere SMEM attribute arrays (+ prefolded material
@@ -685,8 +851,13 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
     morton-chunk / super-chunk AABB arrays for tile-granularity culling.
 
     Returns (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks,
-    n_super). Shared by the fused megakernel and the compacted-wavefront
-    kernels (ops/pallas/wavefront.py).
+    n_super, tex_pool). Shared by the fused megakernel and the
+    compacted-wavefront kernels (ops/pallas/wavefront.py).
+
+    For scenes with image textures, s_attrs carries 6 extra per-sphere
+    texture-descriptor attributes (tex1/tex2 base row, width, height — -1
+    base for solid textures) and tex_pool is the packed LUT pool;
+    otherwise tex_pool is None and s_attrs has the 13 base attributes.
     """
     sph = scene.spheres
     mat = scene.materials
@@ -697,6 +868,15 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
         mat.albedo1[midx, 0], mat.albedo1[midx, 1], mat.albedo1[midx, 2],
         mat.albedo2[midx, 0], mat.albedo2[midx, 1], mat.albedo2[midx, 2],
     )
+    tex_pool = None
+    if not mat.all_solid:
+        built = build_kernel_texture_pool(mat)
+        if built is not None:
+            tex_pool, desc1, desc2 = built
+            s_attrs = s_attrs + (
+                desc1[midx, 0], desc1[midx, 1], desc1[midx, 2],
+                desc2[midx, 0], desc2[midx, 1], desc2[midx, 2],
+            )
     n_spheres = int(sph.centers.shape[0])
     # 13th attribute: kq (appended after the chunk sort so it rides the
     # same reorder)
@@ -739,7 +919,8 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
     cx_, cy_, cz_, rad_ = s_attrs[0], s_attrs[1], s_attrs[2], s_attrs[3]
     kq = cx_ * cx_ + cy_ * cy_ + cz_ * cz_ - rad_ * rad_
     s_attrs = s_attrs + (kq,)
-    return s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks, n_super
+    return (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks,
+            n_super, tex_pool)
 
 
 @functools.partial(
@@ -770,8 +951,9 @@ def render_image_pallas(
     stats: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the fused megakernel; drop-in for
-    ops.tracer.render_image. Requires solid-color materials (see module
-    docstring); use MaterialTable.all_solid to pick the backend.
+    ops.tracer.render_image. Image textures are sampled in-kernel from a
+    packed LUT pool, mipped to <=8192 texels per texture (full resolution
+    stays on the XLA gather path; see build_kernel_texture_pool).
 
     stats=True additionally returns a [n_tiles, 8] f32 array of per-tile
     instrumentation (0: bounce iterations summed over samples, 1: live-lane
@@ -804,7 +986,7 @@ def render_image_pallas(
     inv_perm = jnp.asarray(inv_perm)
 
     (s_attrs, chunk_arrays, super_arrays,
-     n_spheres, n_chunks, n_super) = prepare_scene_arrays(
+     n_spheres, n_chunks, n_super, tex_pool) = prepare_scene_arrays(
         scene, basis, chunk_size, super_factor)
 
     cam_vec = pack_camera(basis)
@@ -820,9 +1002,11 @@ def render_image_pallas(
     acc2d = jnp.pad(acc2d, ((0, 0), (0, hp - height), (0, wp - width)))
     acc = acc2d.reshape(3, hp * wp)[:, perm].reshape(3, n_tiles * tsub, 128)
 
+    textures = tex_pool is not None
     kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
                           chunk_size, n_chunks, block_w, tiles_x,
-                          super_factor, n_super, full_height, stats=stats)
+                          super_factor, n_super, full_height, stats=stats,
+                          textures=textures)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     acc_spec = pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
@@ -833,18 +1017,26 @@ def render_image_pallas(
                                             memory_space=pltpu.VMEM))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32))
+    pool_inputs = []
+    pool_specs = []
+    if textures:
+        pool_inputs = [tex_pool]
+        pool_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    n_in = 3 + len(s_attrs) + 12 + len(pool_inputs)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem(), smem(), smem()] + [smem()] * 13 + [smem()] * 12 + [
+        in_specs=([smem(), smem(), smem()] + [smem()] * len(s_attrs)
+                  + [smem()] * 12 + pool_specs + [
             pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]),
         out_specs=out_specs,
         out_shape=out_shape,
-        input_output_aliases={28: 0},
+        input_output_aliases={n_in: 0},
         interpret=interpret,
-    )(meta, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays, acc)
+    )(meta, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
+      *pool_inputs, acc)
 
     if stats:
         out, stats_arr = out

@@ -66,7 +66,8 @@ N_COMP = 15
 
 
 def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
-             super_factor, n_super, tiles_x, block_w, block_h, spp_shift):
+             super_factor, n_super, tiles_x, block_w, block_h, spp_shift,
+             textures=False):
     """Camera generation + bounces [0, b1) + pool/contribution dump.
 
     Lane mapping folds samples into lanes: within a tile's (32, 128) block,
@@ -75,12 +76,18 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
     """
     f32 = jnp.float32
     bw_shift = block_w.bit_length() - 1
+    n_attr = 19 if textures else 13
 
     def kernel(meta_ref, cam_ref, sky_ref, *refs):
-        scene = refs[0:13]
-        bounds = refs[13:19]
-        supers = refs[19:25]
-        pool_ref, contrib_ref = refs[25], refs[26]
+        scene = refs[0:n_attr]
+        bounds = refs[n_attr:n_attr + 6]
+        supers = refs[n_attr + 6:n_attr + 12]
+        rest = refs[n_attr + 12:]
+        if textures:
+            tex_pool_ref, rest = rest[0], rest[1:]
+        else:
+            tex_pool_ref = None
+        pool_ref, contrib_ref = rest[0], rest[1]
         t = pl.program_id(0)
         frame = meta_ref[0]
 
@@ -109,6 +116,7 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             scene, bounds, supers, sky_ref,
             num_bounces=b1, chunk_size=chunk_size, n_chunks=n_chunks,
             super_factor=super_factor, n_super=n_super, n_spheres=n_spheres,
+            tex_pool_ref=tex_pool_ref,
         )
 
         # thin-lens camera ray (wgsl:105-122, 456-478)
@@ -211,22 +219,28 @@ def _compact_kernel(count_in_ref, pool_ref, cpool_hbm, count_out_ref,
     count_out_ref[0] = counter[0]
 
 
-def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super):
+def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
+             textures=False):
     """Resume bounces [b_lo, b_hi) over the compacted pool; write the
     updated pool in place (1:1 rows) and DMA each row's contribution to
     its home slot. b_lo/b_hi are runtime scalars — one compilation serves
     every phase of the frame."""
     f32 = jnp.float32
+    n_attr = 19 if textures else 13
 
     def kernel(meta_ref, count_ref, sky_ref, *refs):
-        scene = refs[0:13]
-        bounds = refs[13:19]
-        supers = refs[19:25]
-        # refs[25] = cpool in, refs[26] = contrib in (aliased to out),
-        # refs[27] = pool out, refs[28] = contrib out (same buffer as [26]),
-        # then scratch
-        cpool_ref, pool_out_ref, contrib_hbm = refs[25], refs[27], refs[28]
-        scratch, home_smem, sems = refs[29], refs[30], refs[31]
+        scene = refs[0:n_attr]
+        bounds = refs[n_attr:n_attr + 6]
+        supers = refs[n_attr + 6:n_attr + 12]
+        rest = refs[n_attr + 12:]
+        if textures:
+            tex_pool_ref, rest = rest[0], rest[1:]
+        else:
+            tex_pool_ref = None
+        # rest = cpool in, contrib in (aliased to out), pool out,
+        #        contrib out (same buffer as contrib in), then scratch
+        cpool_ref, pool_out_ref, contrib_hbm = rest[0], rest[2], rest[3]
+        scratch, home_smem, sems = rest[4], rest[5], rest[6]
         t = pl.program_id(0)
         count = count_ref[0]
         b_lo = meta_ref[0]
@@ -251,7 +265,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super):
                 scene, bounds, supers, sky_ref,
                 num_bounces=b_hi, chunk_size=chunk_size, n_chunks=n_chunks,
                 super_factor=super_factor, n_super=n_super,
-                n_spheres=n_spheres,
+                n_spheres=n_spheres, tex_pool_ref=tex_pool_ref,
             )
             carry = (b_lo, ox, oy, oz, dx, dy, dz,
                      tr, tg, tb, cr, cg, cb, alive_f, state)
@@ -356,22 +370,27 @@ def render_image_wavefront(
     n_rows = n_tiles * 32
 
     (s_attrs, chunk_arrays, super_arrays,
-     n_spheres, n_chunks, n_super) = prepare_scene_arrays(
+     n_spheres, n_chunks, n_super, tex_pool) = prepare_scene_arrays(
         scene, basis, chunk_size, super_factor)
+    textures = tex_pool is not None
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    scene_specs = [smem()] * 13 + [smem()] * 6 + [smem()] * 6
+    scene_specs = [smem()] * len(s_attrs) + [smem()] * 6 + [smem()] * 6
+    pool_inputs, pool_specs = [], []
+    if textures:
+        pool_inputs = [tex_pool]
+        pool_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
 
     b1 = cuts[0] if cuts else num_bounces
     k0 = _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
                   super_factor, n_super, tiles_x, block_w, block_h,
-                  spp_shift)
+                  spp_shift, textures=textures)
     meta0 = jnp.stack([frame.astype(jnp.uint32)])
     pool, contrib = pl.pallas_call(
         k0,
         grid=(n_tiles,),
-        in_specs=[smem(), smem(), smem()] + scene_specs,
+        in_specs=[smem(), smem(), smem()] + scene_specs + pool_specs,
         out_specs=(
             pl.BlockSpec((1, N_COMP, 32, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -383,7 +402,8 @@ def render_image_wavefront(
             jax.ShapeDtypeStruct((n_tiles, 3, 32, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays)
+    )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
+      *pool_inputs)
 
     count = jnp.asarray([n_rows], jnp.int32)
     counts = []
@@ -421,12 +441,12 @@ def render_image_wavefront(
         b_hi = cuts[pi + 1] if pi + 1 < len(cuts) else num_bounces
         if k1 is None:
             k1 = _make_k1(n_spheres, chunk_size, n_chunks, super_factor,
-                          n_super)
+                          n_super, textures=textures)
         meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
         pool, contrib = pl.pallas_call(
             k1,
             grid=(n_tiles,),
-            in_specs=[smem(), smem(), smem()] + scene_specs + [
+            in_specs=[smem(), smem(), smem()] + scene_specs + pool_specs + [
                 pl.BlockSpec((1, N_COMP, 32, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # contrib (aliased out)
@@ -445,11 +465,12 @@ def render_image_wavefront(
                 pltpu.SMEM((32,), jnp.int32),
                 pltpu.SemaphoreType.DMA((32,)),
             ],
-            input_output_aliases={29: 1},
+            input_output_aliases={3 + len(s_attrs) + 12 + len(pool_inputs)
+                                  + 1: 1},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(meta1, count, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
-          cpool, contrib)
+          *pool_inputs, cpool, contrib)
 
     # --- contributions -> scanline pixel image (pure reshape/transpose:
     # tile (ty*TX+tx), channel, row=y_in, col=x_in*spp+s) ---

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.camera import CameraBasis
-from .models.params import RenderParams, RenderParamsValidationError
+from .models.params import RenderParams
 from .models.scenes import SceneDesc
 from .models.sky import to_sky_state
 from .ops import tonemap
@@ -124,17 +124,11 @@ class Renderer:
             self._scene_desc = None
             self._scene = scene
         if backend == "auto":
-            # The fused kernel handles solid/procedural materials; image
-            # textures need the gathering XLA path.
-            backend = "pallas" if self._scene.materials.all_solid else "xla"
-        elif backend == "pallas" and not self._scene.materials.all_solid:
-            # Explicitly forcing the fused kernel onto an image-textured
-            # scene would silently render with prefolded mean-texel albedos
-            # (megakernel module docstring) — refuse with a typed error.
-            raise RenderParamsValidationError(
-                "backend='pallas' supports solid/procedural materials only; "
-                "this scene has image textures — use backend='auto' or 'xla'"
-            )
+            # The fused kernel handles solid/procedural materials natively
+            # and image textures via the in-kernel mipped LUT
+            # (ops/pallas/megakernel.py build_kernel_texture_pool); the XLA
+            # wavefront remains the full-resolution gather path.
+            backend = "pallas"
         self.backend = backend
         self.mesh = mesh
         if mesh is not None:
