@@ -15,6 +15,10 @@ Keys:
   1/2/4 spp per frame  b/B bounces -+             r reset accumulation
   ESC or Ctrl-C quit
 
+Mouse: drag to look (the reference's RMB spherical-delta look,
+fly_camera.rs:125-173) — any button works; uses xterm SGR mouse reporting,
+enabled while the viewer runs.
+
 Run: python -m weekend_raytracer_tpu.interactive.viewer --scene demo
 """
 from __future__ import annotations
@@ -82,6 +86,40 @@ class TerminalViewer:
         except RenderParamsValidationError as e:
             self.status = f"rejected: {e}"  # mirror eprintln! main.rs:196
 
+    def handle_mouse(self, col: int, row: int, pressed: bool) -> None:
+        """Feed an xterm mouse event into the fly camera's drag-look.
+
+        Terminal cells are 2 pixels tall (half blocks), so rows scale by 2
+        to land in render-pixel coordinates; the controller consumes
+        positions exactly like the reference's cursor events
+        (fly_camera.rs:66-118) and applies the spherical-delta look in
+        after_events. Wires the previously test-only set_mouse path
+        (VERDICT r1 missing #3)."""
+        c = self.controller
+        c.set_mouse((float(col), float(row * 2)), pressed)
+        c.after_events(self.viewport, 0.0)
+        self._apply(sky=self.sky, sampling=self.sampling)
+
+    def _parse_mouse(self) -> bool:
+        """Parse an SGR mouse report after ESC [ < : 'b;x;y(M|m)'."""
+        buf = ""
+        while True:
+            ch = sys.stdin.read(1)
+            if ch in "Mm":
+                break
+            buf += ch
+            if len(buf) > 16:
+                return True  # malformed; swallow
+        try:
+            btn, x, y = (int(v) for v in buf.split(";"))
+        except ValueError:
+            return True
+        if btn & 64:  # scroll wheel: ignore
+            return True
+        pressed = ch == "M"
+        self.handle_mouse(x - 1, y - 1, pressed)
+        return True
+
     def handle_key(self, key: str) -> bool:
         """Returns False to quit. Multi-byte escape sequences (arrow keys
         etc.) must be translated by the caller before reaching here — a
@@ -146,6 +184,8 @@ class TerminalViewer:
         old = termios.tcgetattr(fd)
         tty.setcbreak(fd)
         sys.stdout.write("\x1b[2J")  # clear
+        # xterm button-event mouse tracking (1002) with SGR encoding (1006)
+        sys.stdout.write("\x1b[?1002h\x1b[?1006h")
         try:
             running = True
             while running:
@@ -159,15 +199,17 @@ class TerminalViewer:
                         running = False
                         break
         finally:
+            sys.stdout.write("\x1b[?1002l\x1b[?1006l")
             termios.tcsetattr(fd, termios.TCSADRAIN, old)
             sys.stdout.write("\x1b[0m\n")
 
-    @staticmethod
-    def _read_key() -> str:  # pragma: no cover - interactive
+    def _read_key(self) -> str:  # pragma: no cover - interactive
         """Read one logical key, translating ANSI escape sequences.
 
         Arrow keys arrive as ESC [ A/B/C/D — map them to the look keys so
-        pressing an arrow doesn't read as a bare ESC (quit)."""
+        pressing an arrow doesn't read as a bare ESC (quit). SGR mouse
+        reports (ESC [ < b;x;y M/m) are consumed here and fed to
+        handle_mouse, returning '' (no key)."""
         ch = sys.stdin.read(1)
         if ch != "\x1b":
             return ch
@@ -177,6 +219,9 @@ class TerminalViewer:
         if seq != "[":
             return ""  # unknown sequence: ignore
         final = sys.stdin.read(1)
+        if final == "<":
+            self._parse_mouse()
+            return ""
         return {"A": "i", "B": "k", "C": "l", "D": "j"}.get(final, "")
 
     def draw(self, img: np.ndarray) -> None:  # pragma: no cover - interactive

@@ -110,6 +110,12 @@ class SkyParams:
 
     azimuth_degrees in [0, 360]; zenith_degrees in [0, 90] (sun zenith
     angle — 0 is overhead); turbidity in [1, 10]; albedo RGB in [0, 1].
+
+    Note: the analytic coefficient source (a Preetham-fit in Hosek-Wilkie
+    form, see to_sky_state) degenerates below turbidity ~1.9, so values in
+    [1, 1.9) render with the 1.9 coefficients (a one-time warning is
+    logged when the clamp engages). Ground albedo enters as a first-order
+    brightness lift, not the full HW dataset response.
     """
 
     azimuth_degrees: float = 0.0
@@ -243,6 +249,9 @@ def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
     return _to_sky_state_cached(sky, float(exposure_scale))
 
 
+_warned_turbidity_clamp = False
+
+
 @functools.lru_cache(maxsize=64)
 def _to_sky_state_cached(sky: SkyParams, exposure_scale: float) -> SkyState:
     azimuth = Angle.degrees(sky.azimuth_degrees).as_radians()
@@ -251,8 +260,20 @@ def _to_sky_state_cached(sky: SkyParams, exposure_scale: float) -> SkyState:
     # 1 + A e^{B/cos(theta)} factor goes negative at the zenith, flipping
     # the normalized radiance sign at the horizon) — a known limitation of
     # the model. Clamp the coefficient turbidity; the user-facing range
-    # stays [1, 10].
+    # stays [1, 10] (documented on SkyParams; warn once so sweeps over
+    # [1, 1.9) aren't silently identical).
     t = max(1.9, min(10.0, float(sky.turbidity)))
+    if float(sky.turbidity) < 1.9:
+        global _warned_turbidity_clamp
+        if not _warned_turbidity_clamp:
+            _warned_turbidity_clamp = True
+            from ..utils.log import get_logger
+
+            get_logger(__name__).warning(
+                "sky turbidity %.2f below the analytic model's valid range;"
+                " rendering with turbidity 1.9 (see SkyParams docs)",
+                float(sky.turbidity),
+            )
 
     sun_direction = np.array(
         [
