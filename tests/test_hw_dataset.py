@@ -1,0 +1,119 @@
+"""Hosek-Wilkie dataset cooking machinery (models/hw_dataset.py).
+
+The fitted dataset isn't vendored (offline build); these tests verify the
+exact ArHosekSkyModel interpolation math against synthetic datasets with
+known answers, the .h parser, and the to_sky_state integration seam.
+"""
+import math
+
+import numpy as np
+import pytest
+
+from weekend_raytracer_tpu.models import hw_dataset as hw
+
+
+def _synthetic():
+    """config[c,a,t,k,p] = p + 10a + t/10 (elevation-independent);
+    radiance[c,a,t,k] = 1 + a + t/100."""
+    c = np.zeros((3, 2, 10, 6, 9))
+    p = np.arange(9)[None, None, None, None, :]
+    a = np.arange(2)[None, :, None, None, None]
+    t = np.arange(10)[None, None, :, None, None]
+    c[:] = p + 10 * a + t / 10.0
+    r = np.zeros((3, 2, 10, 6))
+    r[:] = 1.0 + np.arange(2)[None, :, None, None] \
+        + np.arange(10)[None, None, :, None] / 100.0
+    return c, r
+
+
+def test_cook_constant_in_elevation():
+    """Equal control points -> Bezier returns them at any elevation."""
+    c, r = _synthetic()
+    for elev in (0.0, 0.3, 1.2, math.pi / 2):
+        params, rads = hw.cook(c, r, 1.0, np.zeros(3), elev)
+        np.testing.assert_allclose(params, np.tile(np.arange(9.0), (3, 1)))
+        np.testing.assert_allclose(rads, [1.0, 1.0, 1.0])
+
+
+def test_cook_turbidity_interpolation():
+    """turbidity 3.25 blends tables 3 and 4 linearly (1-indexed)."""
+    c, r = _synthetic()
+    params, rads = hw.cook(c, r, 3.25, np.zeros(3), 0.5)
+    # integer part 3 -> tables idx 2 and 3: 0.75*0.2 + 0.25*0.3 = 0.225
+    np.testing.assert_allclose(params[:, 0], 0.225, atol=1e-12)
+    np.testing.assert_allclose(rads, 1.0 + 0.0225, atol=1e-12)
+
+
+def test_cook_albedo_interpolation_per_channel():
+    c, r = _synthetic()
+    params, rads = hw.cook(c, r, 1.0, np.array([0.0, 0.5, 1.0]), 0.5)
+    np.testing.assert_allclose(params[:, 0], [0.0, 5.0, 10.0], atol=1e-12)
+    np.testing.assert_allclose(rads, [1.0, 1.5, 2.0], atol=1e-12)
+
+
+def test_bezier_weights_quintic():
+    """Linear ramp control points reproduce the Bernstein mean: sum of
+    w_i * i/5 = t for a quintic Bezier of a linear function."""
+    ctrl = (np.arange(6.0) / 5.0)[:, None]
+    for t in (0.0, 0.2, 0.7, 1.0):
+        np.testing.assert_allclose(hw._bezier(ctrl, t)[0], t, atol=1e-12)
+
+
+def test_parse_header_roundtrip(tmp_path):
+    c, r = _synthetic()
+    parts = []
+    for i in range(3):
+        vals = ",\n".join(repr(float(v)) for v in c[i].reshape(-1))
+        parts.append(f"double datasetRGB{i+1}[] =\n{{\n{vals}\n}};\n")
+        vals = ",".join(repr(float(v)) for v in r[i].reshape(-1))
+        parts.append(f"double datasetRGBRad{i+1}[] = {{ {vals} }};\n")
+    path = tmp_path / "ArHosekSkyModelData_RGB.h"
+    path.write_text("// synthetic\n" + "\n".join(parts))
+    c2, r2 = hw.parse_rgb_header(str(path))
+    np.testing.assert_allclose(c2, c)
+    np.testing.assert_allclose(r2, r)
+
+
+def test_to_sky_state_uses_dataset(tmp_path, monkeypatch):
+    """With WRT_HW_DATASET set, to_sky_state cooks from the dataset; the
+    cooked state renders finite sky radiance through the evaluator."""
+    import jax.numpy as jnp
+
+    from weekend_raytracer_tpu.models.sky import SkyParams, to_sky_state
+    from weekend_raytracer_tpu.ops.sky_radiance import sky_radiance
+
+    c, r = _synthetic()
+    # keep the exponential rates (p1, p4) negative and p8 (mie g) in [0,1)
+    # so the f32 evaluator doesn't overflow on this synthetic data
+    c[..., 1] = -1.0
+    c[..., 4] = -1.0
+    c[..., 8] = 0.5
+    path = tmp_path / "hw.npz"
+    np.savez(path, config=c, radiance=r)
+    monkeypatch.setenv("WRT_HW_DATASET", str(path))
+
+    sky = SkyParams(zenith_degrees=60.0, turbidity=4.5, albedo=(0.1, 0.5, 0.9))
+    state = to_sky_state(sky)
+    elev = math.pi / 2 - math.radians(60.0)
+    params, rads = hw.cook(c, r, 4.5, np.array([0.1, 0.5, 0.9]), elev)
+    np.testing.assert_allclose(np.asarray(state.params), params, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.radiances), rads, rtol=1e-6)
+    # sun direction convention (mod.rs:573-579)
+    np.testing.assert_allclose(
+        np.asarray(state.sun_direction),
+        [math.sin(math.radians(60.0)), math.cos(math.radians(60.0)), 0.0],
+        atol=1e-6,
+    )
+    d = jnp.asarray([[0.0, 0.7071, 0.7071], [0.3, 0.1, -0.9]])
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.asarray(sky_radiance(d, state))
+    assert np.isfinite(out).all()
+    assert (out > 0).all()
+
+
+def test_missing_dataset_falls_back(monkeypatch):
+    from weekend_raytracer_tpu.models.sky import SkyParams, to_sky_state
+
+    monkeypatch.delenv("WRT_HW_DATASET", raising=False)
+    state = to_sky_state(SkyParams())
+    assert state.params.shape == (3, 9)

@@ -236,8 +236,16 @@ def _fit_hw_params(cos_theta, gamma, target, x0) -> np.ndarray | None:
     return res.x
 
 
-def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
+def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0,
+                 hw_dataset_path: str | None = None) -> SkyState:
     """Compute the device SkyState (reference mod.rs:567-595).
+
+    When the fitted Hosek-Wilkie dataset is available (``hw_dataset_path``
+    or the ``WRT_HW_DATASET`` env var pointing at the published
+    ArHosekSkyModelData_RGB.h or an equivalent .npz), coefficients are
+    cooked exactly like the reference's hw_skymodel crate
+    (models/hw_dataset.py). Otherwise the built-in Preetham-derived fit
+    supplies them (module docstring).
 
     The sun direction convention matches mod.rs:573-579:
     [sin(zenith) cos(azimuth), cos(zenith), sin(zenith) sin(azimuth)].
@@ -245,6 +253,11 @@ def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0) -> SkyState:
     only — it is azimuth-invariant — so interactive azimuth sweeps are
     free. Albedo is normalized to a tuple for hashability.
     """
+    from .hw_dataset import to_sky_state_hw
+
+    exact = to_sky_state_hw(sky, hw_dataset_path, exposure_scale)
+    if exact is not None:
+        return exact
     sky = dataclasses.replace(sky, albedo=tuple(float(a) for a in sky.albedo))
     return _to_sky_state_cached(sky, float(exposure_scale))
 
