@@ -32,15 +32,6 @@ def main() -> None:
     bounces = 8
 
     backend = os.environ.get("WRT_BENCH_BACKEND", "auto")
-    if backend == "auto":
-        try:
-            from weekend_raytracer_tpu.ops.pallas.megakernel import (  # noqa: F401
-                render_image_pallas,
-            )
-
-            backend = "pallas"
-        except Exception:
-            backend = "xla"
 
     params = RenderParams(
         camera=scenes.rtiow_final_camera(),
@@ -53,6 +44,7 @@ def main() -> None:
     )
     desc = scenes.rtiow_final()
     renderer = Renderer(desc, params, backend=backend)
+    backend = renderer.backend
 
     # Warmup: compile + one frame.
     renderer.render_frame()

@@ -245,7 +245,7 @@ def test_pallas_backend_renders_image_textures():
                                 num_samples_per_pixel=4, num_bounces=6),
     )
     rp = Renderer(desc, params, backend="auto")
-    assert rp.backend == "pallas"
+    assert rp.backend in ("pallas", "wavefront")
     rp.render()
     rx = Renderer(desc, params, backend="xla")
     rx.render()

@@ -29,7 +29,8 @@ def main(argv=None) -> int:
     p.add_argument("--spp-per-frame", type=int, default=None,
                    help="samples per progressive frame (default: min(4, spp))")
     p.add_argument("--bounces", type=int, default=8)
-    p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas", "wavefront"])
     p.add_argument("--assets", default=None, help="dir with earthmap/moon images")
     p.add_argument("-o", "--output", default="render.png")
     p.add_argument("--hdr", default=None, metavar="PATH.npz",
@@ -81,8 +82,6 @@ def main(argv=None) -> int:
     )
 
     backend = args.backend
-    if backend == "auto":
-        backend = "pallas"
     mesh = None
     if args.tile_shards is not None or args.spp_shards > 1:
         from .parallel.sharding import make_mesh
@@ -92,6 +91,7 @@ def main(argv=None) -> int:
             spp_shards=args.spp_shards,
         )
     renderer = Renderer(scene, params, backend=backend, mesh=mesh)
+    backend = renderer.backend
     import os
 
     if args.checkpoint and os.path.exists(args.checkpoint):

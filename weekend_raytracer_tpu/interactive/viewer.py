@@ -259,11 +259,8 @@ def main(argv=None) -> int:  # pragma: no cover - interactive
     build, _cam = scene_lib.SCENES[args.scene]
     desc = build()
     scene = desc.build()
-    backend = args.backend
-    if backend == "auto":
-        backend = "pallas" if scene.materials.all_solid else "xla"
     viewer = TerminalViewer(scene, FlyCameraController(), viewport=(w, h),
-                            backend=backend)
+                            backend=args.backend)
     viewer.run()
     return 0
 

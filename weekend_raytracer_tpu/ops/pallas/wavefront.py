@@ -340,17 +340,20 @@ def render_image_wavefront(
     num_bounces: int,
     chunk_size: int = 32,
     super_factor: int = 8,
-    phase_cuts: tuple = (2,),
+    phase_cuts: tuple = (),
     interpret: bool | None = None,
     debug_counts: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the compacted wavefront; drop-in for
-    render_image / render_image_pallas (solid-material scenes).
+    render_image / render_image_pallas.
 
     phase_cuts are the bounce indices at which live rays are re-compacted;
     e.g. (2,) runs bounces 0-1 on camera tiles, compacts once, and finishes
-    2..num_bounces on dense tiles. () degenerates to the plain megakernel
-    schedule (no compaction).
+    2..num_bounces on dense tiles. The default () runs the whole bounce
+    budget in K0 — compaction is measured net-neutral on one chip because
+    row-granular liveness stays high (docs/PERF.md), but the sample-folded
+    lane layout alone is ~10% faster than the megakernel, and cuts are the
+    hook for lane-granular regrouping work.
     """
     if interpret is None:
         interpret = _is_cpu()

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.camera import CameraBasis
-from .models.params import RenderParams
+from .models.params import RenderParams, RenderParamsValidationError
 from .models.scenes import SceneDesc
 from .models.sky import to_sky_state
 from .ops import tonemap
@@ -103,7 +103,9 @@ class Renderer:
     ----------
     scene : SceneDesc or prebuilt ops.tracer.Scene
     params : RenderParams (validated on construction and on update)
-    backend : "xla" (wavefront jitted tracer) or "pallas" (fused kernel)
+    backend : "auto" | "wavefront" (fused kernels, sample-folded lanes +
+        optional mid-frame ray compaction) | "pallas" (fused megakernel) |
+        "xla" (jitted wavefront tracer; full-resolution texture reference)
     mesh : optional jax.sharding.Mesh (tiles x spp axes, see
         parallel.sharding.make_mesh). When given, the accumulator is
         row-sharded over the tile axis and every frame renders under
@@ -124,11 +126,22 @@ class Renderer:
             self._scene_desc = None
             self._scene = scene
         if backend == "auto":
-            # The fused kernel handles solid/procedural materials natively
-            # and image textures via the in-kernel mipped LUT
-            # (ops/pallas/megakernel.py build_kernel_texture_pool); the XLA
-            # wavefront remains the full-resolution gather path.
-            backend = "pallas"
+            # Fused Pallas kernels handle solid/procedural materials
+            # natively and image textures via the in-kernel mipped LUT; the
+            # XLA path remains the full-resolution-texture reference.
+            # The wavefront variant's sample-folded lane layout is the
+            # fastest measured, but requires power-of-two spp and is not
+            # yet plumbed through the row-sharded mesh path.
+            spp = params.sampling.num_samples_per_pixel
+            if mesh is None and spp & (spp - 1) == 0:
+                backend = "wavefront"
+            else:
+                backend = "pallas"
+        if backend == "wavefront" and mesh is not None:
+            raise RenderParamsValidationError(
+                "backend='wavefront' does not support mesh sharding yet; "
+                "use backend='pallas' (or 'auto') with a mesh"
+            )
         self.backend = backend
         self.mesh = mesh
         if mesh is not None:
@@ -211,6 +224,16 @@ class Renderer:
                     num_bounces=bounces,
                     mesh=self.mesh,
                     backend=self.backend,
+                )
+            elif self.backend == "wavefront":
+                from .ops.pallas.wavefront import render_image_wavefront
+
+                fn = partial(
+                    render_image_wavefront,
+                    width=w,
+                    height=h,
+                    spp=spp,
+                    num_bounces=bounces,
                 )
             elif self.backend == "pallas":
                 from .ops.pallas.megakernel import render_image_pallas
