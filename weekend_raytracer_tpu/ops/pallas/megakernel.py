@@ -15,12 +15,13 @@ SURVEY.md §2 — re-architected for the VPU instead of a SIMT rasterizer:
  - the bounce loop is a while_loop with a whole-tile liveness early-exit
    (the reference's per-thread `break` on miss, wgsl:167, becomes a
    per-tile exit — profitable because paths in a tile terminate together);
- - RNG is the same jenkins+PCG u32 recurrence as ops/rng.py — the
-   primitives are bit-identical to the XLA wavefront path (verified in
-   tests). Note the *streams* align only at spp=1: the whole-tile bounce
-   early-exit skips draws that the XLA path's fixed-length scan always
-   makes, so later samples' draw positions differ. Cross-backend image
-   comparisons are therefore statistical, never bitwise (CLAUDE.md);
+ - RNG is the same jenkins+PCG u32 recurrence as ops/rng.py with
+   independent per-(pixel, sample) seeds (rng.init_sample_state), so a
+   path's draws depend only on its own bounce index: live-ray draws are
+   bit-identical across this kernel, the XLA scan, the wavefront pool,
+   and the NumPy oracle at any spp. (Images still differ from the XLA
+   path at last-ulp silhouettes — the intersection arithmetic is
+   reassociated — so cross-backend gates stay statistical.);
  - materials are evaluated branchlessly and one-hot selected (the WGSL
    `switch`, wgsl:174-202).
 
@@ -844,6 +845,12 @@ def build_kernel_texture_pool(mat, budget_texels: int = 8192):
     return pool, desc_arr(0), desc_arr(1)
 
 
+def default_chunk_size(n_spheres: int) -> int:
+    """Measured optimum (docs/PERF.md): chunk 32 for RTiOW-scale scenes,
+    64 once per-chunk cond/AABB overhead dominates (>= ~2k spheres)."""
+    return 64 if n_spheres >= 2048 else 32
+
+
 def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
                          chunk_size: int, super_factor: int):
     """Build the 13 per-sphere SMEM attribute arrays (+ prefolded material
@@ -942,7 +949,7 @@ def render_image_pallas(
     spp: int,
     num_bounces: int,
     tsub: int = 32,
-    chunk_size: int = 32,
+    chunk_size: int | None = None,
     block_w: int = 64,
     super_factor: int = 8,
     row_offset: jnp.ndarray | int = 0,
@@ -964,6 +971,8 @@ def render_image_pallas(
         interpret = _is_cpu()
     if full_height is None:
         full_height = height
+    if chunk_size is None:
+        chunk_size = default_chunk_size(int(scene.spheres.centers.shape[0]))
     n = width * height
     tile = tsub * 128
     block_h = tile // block_w

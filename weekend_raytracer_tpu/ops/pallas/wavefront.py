@@ -338,7 +338,7 @@ def render_image_wavefront(
     height: int,
     spp: int,
     num_bounces: int,
-    chunk_size: int = 32,
+    chunk_size: int | None = None,
     super_factor: int = 8,
     phase_cuts: tuple = (),
     interpret: bool | None = None,
@@ -357,6 +357,10 @@ def render_image_wavefront(
     """
     if interpret is None:
         interpret = _is_cpu()
+    if chunk_size is None:
+        from .megakernel import default_chunk_size
+
+        chunk_size = default_chunk_size(int(scene.spheres.centers.shape[0]))
     if spp & (spp - 1):
         raise ValueError(f"wavefront spp must be a power of two, got {spp}")
     spp_shift = spp.bit_length() - 1
