@@ -203,7 +203,112 @@ def probe_xla_sort_cost():
     return "; ".join(results)
 
 
+def probe_cumsum_lanes():
+    """jnp.cumsum along lanes (axis=1) of (32,128) f32."""
+    def kernel(x_ref, out_ref):
+        out_ref[:] = jnp.cumsum(x_ref[:], axis=1)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((32, 128)) < 0.5).astype(np.float32))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32),
+    )(x)
+    expect = np.cumsum(np.asarray(x), axis=1)
+    assert np.array_equal(np.asarray(out), expect), "WRONG RESULT"
+    return "lane cumsum works"
+
+
+def probe_dynamic_store_leading():
+    """Store a (1,128) row into a 3D VMEM scratch at a traced leading
+    index (the pack-fold staging write)."""
+    def kernel(x_ref, i_ref, out_ref):
+        i = i_ref[0]
+        out_ref[pl.ds(i, 1), 2, :] = x_ref[:]
+
+    x = jnp.arange(128, dtype=jnp.float32).reshape(1, 128)
+    i = jnp.array([5], dtype=jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((8, 4, 128), jnp.float32),
+    )(x, i)
+    assert np.array_equal(np.asarray(out)[5, 2], np.arange(128.0)), "WRONG"
+    return "dynamic leading-dim VMEM store works"
+
+
+def probe_dynamic_read_leading_3d():
+    """Read a (1,128) row of a 3D VMEM ref at a traced leading index."""
+    def kernel(tab_ref, i_ref, out_ref):
+        i = i_ref[0]
+        out_ref[:] = tab_ref[pl.ds(i, 1), 2, :]
+
+    tab = jnp.arange(8 * 4 * 128, dtype=jnp.float32).reshape(8, 4, 128)
+    i = jnp.array([5], dtype=jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+    )(tab, i)
+    assert np.array_equal(np.asarray(out)[0], np.asarray(tab)[5, 2]), "WRONG"
+    return "dynamic leading-dim 3D VMEM read works"
+
+
+def probe_gather_bit_preserving():
+    """Does take_along_axis on f32 preserve raw i32 bit patterns
+    (i32 ids bitcast to f32, gathered, bitcast back)?"""
+    def kernel(tab_ref, idx_ref, out_ref):
+        f = jax.lax.bitcast_convert_type(tab_ref[:], jnp.float32)
+        g = jnp.take_along_axis(f, idx_ref[:], axis=1)
+        out_ref[:] = jax.lax.bitcast_convert_type(g, jnp.int32)
+
+    rng = np.random.default_rng(0)
+    # include denormal-range, NaN-range, and negative-zero patterns
+    tab = jnp.asarray(
+        rng.integers(-(1 << 31), 1 << 31, size=(8, 128), dtype=np.int64)
+    ).astype(jnp.int32)
+    idx = jnp.asarray(rng.integers(0, 128, size=(8, 128), dtype=np.int32))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+    )(tab, idx)
+    expect = np.take_along_axis(np.asarray(tab), np.asarray(idx), axis=1)
+    assert np.array_equal(np.asarray(out), expect), "BITS NOT PRESERVED"
+    return "f32 lane gather preserves raw bit patterns"
+
+
+def probe_take_along_lane_1row():
+    """take_along_axis along lanes of a (1,128) value (per-row fold op)."""
+    def kernel(tab_ref, idx_ref, out_ref):
+        row = tab_ref[0:1, :]
+        ids = idx_ref[0:1, :]
+        out_ref[0:1, :] = jnp.take_along_axis(row, ids, axis=1)
+
+    tab = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 128, size=(8, 128), dtype=np.int32))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+    )(tab, idx)
+    expect = np.take_along_axis(
+        np.asarray(tab)[:1], np.asarray(idx)[:1], axis=1)
+    assert np.array_equal(np.asarray(out), expect), "WRONG"
+    return "(1,128) lane gather works"
+
+
 PROBES = [
+    ("cumsum_lanes", probe_cumsum_lanes),
+    ("dynamic_store_leading", probe_dynamic_store_leading),
+    ("dynamic_read_leading_3d", probe_dynamic_read_leading_3d),
+    ("gather_bit_preserving", probe_gather_bit_preserving),
+    ("take_along_lane_1row", probe_take_along_lane_1row),
     ("take_along_sublane", probe_take_along_sublane),
     ("take_along_lane", probe_take_along_lane),
     ("take_along_lane_32", probe_take_along_lane_32),

@@ -1,0 +1,93 @@
+"""Lane-regrouped wavefront tests (interpret mode on CPU).
+
+Same load-bearing property as the row-granular wavefront: any compaction
+schedule yields bit-identical pixels, because RNG streams are per
+(pixel, sample, bounce) and the dense pack only changes which tile
+executes a ray. Additionally the pack must be a *permutation* (counts
+shrink monotonically, dense rows) and the unpack a perfect inverse.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weekend_raytracer_tpu.models import scenes
+from weekend_raytracer_tpu.models.camera import CameraBasis
+from weekend_raytracer_tpu.models.sky import SkyParams, to_sky_state
+from weekend_raytracer_tpu.ops.pallas.regroup import render_image_regrouped
+from weekend_raytracer_tpu.ops.pallas.wavefront import render_image_wavefront
+
+W, H = 96, 40
+
+
+@pytest.fixture(scope="module")
+def rtiow():
+    scene = scenes.rtiow_final().build()
+    basis = CameraBasis.create(scenes.rtiow_final_camera(), (W, H))
+    return scene, to_sky_state(SkyParams()), basis
+
+
+def _args(scene, sky, basis, frame=0, clear=True):
+    acc = jnp.zeros((W * H, 3), jnp.float32)
+    return (acc, jnp.uint32(frame), jnp.bool_(clear), scene, sky, basis)
+
+
+def test_regroup_matches_wavefront_and_compacts(rtiow):
+    """Dense lane regrouping is bit-identical to the uncompacted tracer,
+    and the packed pool shrinks monotonically across cuts."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=8)
+    ref = np.asarray(render_image_wavefront(*_args(scene, sky, basis),
+                                            phase_cuts=(), **kw))
+    out, counts = render_image_regrouped(*_args(scene, sky, basis),
+                                         cuts=(2, 4), debug_counts=True,
+                                         **kw)
+    assert np.array_equal(np.asarray(out), ref)
+    rows = [int(c[0]) for c in counts]
+    block_w = 128 // 4  # spp folded into lanes
+    assert rows[0] == -(-W // block_w) * -(-H // 32) * 32  # padded tiles
+    assert rows[0] > rows[1] > rows[2]  # live rays genuinely compact
+
+
+def test_regroup_progressive_accumulation(rtiow):
+    """clear=False accumulates exactly like the reference path across
+    frames (the unpack only overwrites slots whose ray survived a cut)."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=2, num_bounces=6)
+    f1 = render_image_regrouped(*_args(scene, sky, basis, frame=0),
+                                cuts=(2,), **kw)
+    f2 = render_image_regrouped(
+        f1, jnp.uint32(1), jnp.bool_(False), scene, sky, basis,
+        cuts=(2,), **kw)
+    r1 = render_image_wavefront(*_args(scene, sky, basis, frame=0),
+                                phase_cuts=(), **kw)
+    r2 = render_image_wavefront(
+        r1, jnp.uint32(1), jnp.bool_(False), scene, sky, basis,
+        phase_cuts=(), **kw)
+    assert np.array_equal(np.asarray(f2), np.asarray(r2))
+
+
+def test_regroup_small_uncoalesced_scene():
+    """Tiny unculled scene at an odd viewport: padding lanes, partial
+    tiles, and the no-culling sweep all survive the pack/unpack cycle."""
+    W2, H2 = 50, 22
+    desc = scenes.three_spheres()
+    scene = desc.build()
+    sky = to_sky_state(SkyParams())
+    basis = CameraBasis.create(scenes.three_spheres_camera(), (W2, H2))
+    acc = jnp.zeros((W2 * H2, 3), jnp.float32)
+    kw = dict(width=W2, height=H2, spp=1, num_bounces=5)
+    ref = render_image_wavefront(acc, jnp.uint32(7), jnp.bool_(True),
+                                 scene, sky, basis, phase_cuts=(), **kw)
+    out = render_image_regrouped(acc, jnp.uint32(7), jnp.bool_(True),
+                                 scene, sky, basis, cuts=(1, 3), **kw)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_regroup_rejects_bad_args(rtiow):
+    scene, sky, basis = rtiow
+    with pytest.raises(ValueError):
+        render_image_regrouped(*_args(scene, sky, basis), width=W, height=H,
+                               spp=3, num_bounces=8, cuts=(2,))
+    with pytest.raises(ValueError):
+        render_image_regrouped(*_args(scene, sky, basis), width=W, height=H,
+                               spp=4, num_bounces=8, cuts=())

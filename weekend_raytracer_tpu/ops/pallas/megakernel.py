@@ -123,6 +123,43 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+def _camera_ray(cam_ref, xf, yf, inv_w, inv_h, state):
+    """Jittered thin-lens camera ray for pixel centers (xf, yf): 4 RNG
+    draws + basis math (reference cameraMakeRay + disk sampling,
+    raytracer.wgsl:105-122, 456-478). Returns (state, o, d) with d unit.
+
+    Shared by the fused megakernel and the wavefront/regroup K0 kernels so
+    ray generation is bit-identical across every Pallas entry point.
+    """
+    ex, ey, ez = cam_ref[0], cam_ref[1], cam_ref[2]
+    hx, hy, hz = cam_ref[3], cam_ref[4], cam_ref[5]
+    vx, vy, vz = cam_ref[6], cam_ref[7], cam_ref[8]
+    ux, uy, uz = cam_ref[9], cam_ref[10], cam_ref[11]
+    wx, wy, wz = cam_ref[12], cam_ref[13], cam_ref[14]
+    lx, ly, lz = cam_ref[15], cam_ref[16], cam_ref[17]
+    lens_r = cam_ref[18]
+    state, ju = _rng_float(state)
+    state, jv = _rng_float(state)
+    state, dr = _rng_float(state)
+    state, da = _rng_float(state)
+    su = (xf + ju) * inv_w
+    sv = 1.0 - (yf + jv) * inv_h
+    lr = jnp.sqrt(dr)
+    la = TWO_PI * da
+    lens_x = lens_r * lr * jnp.cos(la)
+    lens_y = lens_r * lr * jnp.sin(la)
+    ox = ex + lens_x * ux + lens_y * wx
+    oy = ey + lens_x * uy + lens_y * wy
+    oz = ez + lens_x * uz + lens_y * wz
+    dx = lx + su * hx + sv * vx - ox
+    dy = ly + su * hy + sv * vy - oy
+    dz = lz + su * hz + sv * vz - oz
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(1.0e-24, _dot3(dx, dy, dz, dx, dy, dz))
+    )
+    return state, ox, oy, oz, dx * inv_len, dy * inv_len, dz * inv_len
+
+
 
 def sky_channel(p, idx, cos_theta, gamma, cos_gamma):
     """One channel of the HW-form radiance (raytracer.wgsl:316-343)."""

@@ -1,0 +1,665 @@
+"""Lane-granular regrouped wavefront: dense ray compaction between bounce
+phases.
+
+The row-granular compaction in ops/pallas/wavefront.py was measured
+net-neutral on RTiOW-1080p: a 128-ray row stays "live" while ANY lane
+lives, so row liveness sits at 56-85% while lane liveness is ~49%
+(docs/PERF.md). This module compacts at LANE granularity — the occupancy
+half of the structural step to 1e9 rays/s — using the Mosaic primitives
+the round-2 probes proved out (benchmarks/probe_mosaic.py): per-lane
+gathers along lanes, dynamic leading-dim VMEM reads/writes, and per-row
+async DMA.
+
+Pipeline per frame (reference capability being scaled: the bounce loop at
+/root/reference/src/raytracer/raytracer.wgsl:130-169):
+
+  K0      camera + bounces [0, c1) on screen tiles (coherent rays, high
+          occupancy); dumps the ray pool with PER-LANE home slot ids and
+          writes the frame's contribution image for paths that already
+          terminated.
+  PACK    stable lane-granular compaction into a globally dense pool:
+          per row, a cumsum + 7-step binary-search lower_bound builds the
+          live-lane gather permutation (no sort network needed); a
+          sequential cross-row fold with a carry row that persists across
+          grid steps (TPU grids run in order on one core) merges live
+          prefixes into completely full 128-ray rows, DMA-appended to HBM.
+          The pack is stable, so home ids stay globally sorted.
+  K1      resume bounces [b_lo, b_hi) over full tiles of live rays.
+          RNG state is NOT carried in records: every path draws exactly 4
+          floats per bounce (plus 4 for the camera), so K1 re-derives each
+          lane's state from (home slot, frame, b_lo) — bit-identical to
+          the megakernel's stream and free of bitcast-through-f32 hazards.
+  UNPACK  contributions return to their pixels by exploiting sortedness:
+          each destination tile's records occupy a contiguous <=34-row
+          pool window (found with one XLA searchsorted over per-row first
+          homes); per destination row a <=2-candidate-row binary search
+          along lanes gathers matching records. No per-lane HBM scatter
+          anywhere.
+
+PACK/K1 can be chained (cuts=(2,4)): records that die in an intermediate
+phase are dropped by the next pack, so the unpack runs over every phase's
+pool in order — alive-at-cut records write zeros that the next pass
+overwrites, and each home slot receives its radiance exactly once.
+
+Home slot ids are stored as TWO small exact-in-f32 integers (lo 12 bits /
+hi) so no payload component ever round-trips through a bitcast: every
+record component is plain f32 data under gathers and selects.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.camera import CameraBasis
+from ...models.sky import SkyState
+from ..tracer import Scene
+from .megakernel import (
+    _camera_ray,
+    _is_cpu,
+    _jenkins,
+    _make_bounce,
+    _rng_next,
+    pack_camera,
+    pack_sky,
+    prepare_scene_arrays,
+)
+
+# Pool record layout: 15 components per row of 128 rays.
+_OX, _OY, _OZ, _DX, _DY, _DZ = 0, 1, 2, 3, 4, 5
+_TR, _TG, _TB = 6, 7, 8
+_CR, _CG, _CB = 9, 10, 11
+_HLO, _AL, _HHI = 12, 13, 14
+_SPARE = 15  # pad to 16 sublanes: Mosaic lane gathers need >=8-row blocks
+N_COMP = 16
+
+_HOME_RADIX = 4096  # slot = hhi * 4096 + hlo; both exact in f32
+_DEAD_HHI = float(1 << 16)  # dead slot = 2^28: above any real slot
+
+
+def _sample_seed(pix_u32, frame_hash, smp):
+    """Per-(pixel, frame, sample) seed — the ops/rng.py stream shared by
+    every backend."""
+    mix = jnp.uint32(0x9E3779B9) * (
+        jax.lax.bitcast_convert_type(smp, jnp.uint32) + jnp.uint32(1)
+    )
+    return _jenkins(pix_u32 ^ frame_hash ^ mix)
+
+
+def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
+             super_factor, n_super, tiles_x, block_w, spp_shift,
+             textures=False):
+    """Camera + bounces [0, b1); dumps the pool (per-lane homes) and the
+    contribution image (final radiance for terminated paths, else 0)."""
+    f32 = jnp.float32
+    n_attr = 19 if textures else 13
+
+    def kernel(meta_ref, cam_ref, sky_ref, *refs):
+        scene = refs[0:n_attr]
+        bounds = refs[n_attr:n_attr + 6]
+        supers = refs[n_attr + 6:n_attr + 12]
+        rest = refs[n_attr + 12:]
+        if textures:
+            tex_pool_ref, rest = rest[0], rest[1:]
+        else:
+            tex_pool_ref = None
+        pool_ref, contrib_ref = rest[0], rest[1]
+        t = pl.program_id(0)
+        frame = meta_ref[0]
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
+        tx = t % tiles_x
+        ty = t // tiles_x
+        x = tx * block_w + (cols >> spp_shift)
+        y = ty * 32 + rows
+        # clamp padded lanes into the frame (their contributions land in
+        # padded slots and are cropped by the caller)
+        x = jnp.minimum(x, width - 1)
+        y = jnp.minimum(y, height - 1)
+        smp = cols & ((1 << spp_shift) - 1)
+        pix = y * width + x
+        pix_u32 = jax.lax.bitcast_convert_type(pix, jnp.uint32)
+        state = _sample_seed(pix_u32, _jenkins(frame), smp)
+
+        bounce_cond, bounce_body = _make_bounce(
+            scene, bounds, supers, sky_ref,
+            num_bounces=b1, chunk_size=chunk_size, n_chunks=n_chunks,
+            super_factor=super_factor, n_super=n_super, n_spheres=n_spheres,
+            tex_pool_ref=tex_pool_ref,
+        )
+        state, ox, oy, oz, dx, dy, dz = _camera_ray(
+            cam_ref, x.astype(f32), y.astype(f32),
+            f32(1.0 / width), f32(1.0 / height), state)
+
+        one = jnp.ones((32, 128), f32)
+        zero = jnp.zeros((32, 128), f32)
+        carry = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                 one, one, one, zero, zero, zero, one, state)
+        carry = jax.lax.while_loop(bounce_cond, bounce_body, carry)
+        (_, ox, oy, oz, dx, dy, dz,
+         tr, tg, tb, cr, cg, cb, alive_f, _state) = carry
+
+        slot = (t * 32 + rows) * 128 + cols
+        for comp, val in ((_OX, ox), (_OY, oy), (_OZ, oz),
+                          (_DX, dx), (_DY, dy), (_DZ, dz),
+                          (_TR, tr), (_TG, tg), (_TB, tb),
+                          (_CR, cr), (_CG, cg), (_CB, cb)):
+            pool_ref[0, comp] = val
+        pool_ref[0, _HLO] = (slot & (_HOME_RADIX - 1)).astype(f32)
+        pool_ref[0, _HHI] = (slot >> 12).astype(f32)
+        pool_ref[0, _AL] = alive_f
+        pool_ref[0, _SPARE] = jnp.zeros((32, 128), f32)
+        contrib_ref[0, 0] = tr * cr
+        contrib_ref[0, 1] = tg * cg
+        contrib_ref[0, 2] = tb * cb
+
+    return kernel
+
+
+def _cumsum_lanes(x):
+    """Inclusive cumsum along lanes of an (S, 128) f32 block via
+    Hillis-Steele log-shifts (jnp.cumsum has no reliable Mosaic lowering
+    on the lane dim)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        sh = pltpu.roll(x, s, 1)
+        x = x + jnp.where(lane >= s, sh, 0.0)
+    return x
+
+
+def _lower_bound(c, target):
+    """Per-lane lower_bound along lanes: smallest src index j (per row)
+    with c[row, j] >= target[row, lane]. c must be non-decreasing along
+    lanes. 7 binary-search steps of take_along_axis."""
+    lo = jnp.zeros(c.shape, jnp.int32)
+    hi = jnp.full(c.shape, c.shape[-1] - 1, jnp.int32)
+    for _ in range(7):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(c, mid, axis=-1)
+        ge = v >= target
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    return lo
+
+
+def _lower_bound_i32(c_i32, target_i32):
+    """lower_bound over sorted i32 values: the gather rides an f32
+    bitcast (bit-preserving, benchmarks/probe_mosaic.py) so slot ids stay
+    exact beyond 2^24."""
+    cf = jax.lax.bitcast_convert_type(c_i32, jnp.float32)
+    lo = jnp.zeros(c_i32.shape, jnp.int32)
+    hi = jnp.full(c_i32.shape, c_i32.shape[-1] - 1, jnp.int32)
+    for _ in range(7):
+        mid = (lo + hi) >> 1
+        v = jax.lax.bitcast_convert_type(
+            jnp.take_along_axis(cf, mid, axis=-1), jnp.int32)
+        ge = v >= target_i32
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    return lo
+
+
+def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, count_out_ref,
+                 pscratch, counts_vmem, acc_vmem, staging,
+                 fill_smem, counter_smem, sems):
+    """Stable lane-granular compaction of live records into a globally
+    dense pool. Sequential grid; the carry row (acc/fill) and the global
+    row counter persist across grid steps, so every emitted row except the
+    final flush is completely full and home ids stay globally sorted."""
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    is_last = t == n_tiles - 1
+
+    @pl.when(t == 0)
+    def _():
+        counter_smem[0] = 0
+        fill_smem[0] = 0
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
+    limit = count_in_ref[0] - t * 32
+    alive = jnp.where(rows < limit, pool_ref[0, _AL], 0.0)
+
+    c = _cumsum_lanes(alive)
+    counts_vmem[:] = c
+    k_vec = c[:, 127:128]
+    target = lane.astype(f32) + 1.0
+    src = _lower_bound(c, target)
+    valid = target <= k_vec
+
+    for comp in range(N_COMP):
+        g = jnp.take_along_axis(pool_ref[0, comp], src, axis=1)
+        if comp == _AL:
+            g = valid.astype(f32)
+        elif comp == _HHI:
+            g = jnp.where(valid, g, _DEAD_HHI)
+        else:
+            g = jnp.where(valid, g, 0.0)
+        pscratch[comp] = g
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (N_COMP, 128), 1)
+    acc = acc_vmem[:]
+    fill = fill_smem[0]
+    emit = jnp.int32(0)
+    zero_blk = jnp.zeros((N_COMP, 128), f32)
+    for j in range(32):
+        k = counts_vmem[j, 127].astype(jnp.int32)
+        blk = pscratch[:, j, :]
+        idx = (lane1 - fill) & 127
+        rolled = jnp.take_along_axis(blk, idx, axis=1)
+        tot = fill + k
+        over = tot >= 128
+        merged = jnp.where(lane1 < fill, acc, rolled)
+
+        @pl.when(over)
+        def _(merged=merged, emit=emit):
+            staging[pl.ds(emit, 1)] = merged[None]
+
+        acc = jnp.where(
+            over,
+            jnp.where(lane1 < tot - 128, rolled, zero_blk),
+            jnp.where(lane1 < tot, merged, zero_blk),
+        )
+        fill = jnp.where(over, tot - 128, tot)
+        emit = jnp.where(over, emit + 1, emit)
+
+    do_flush = is_last & (fill > 0)
+
+    @pl.when(do_flush)
+    def _():
+        # dead tail lanes: home -> sentinel so the unpack can never match
+        flush = acc
+        tail = lane1 >= fill
+        comp_i = jax.lax.broadcasted_iota(jnp.int32, (N_COMP, 128), 0)
+        flush = jnp.where(tail & (comp_i == _HHI), _DEAD_HHI, flush)
+        staging[pl.ds(emit, 1)] = flush[None]
+
+    emit_total = jnp.where(do_flush, emit + 1, emit)
+    acc_vmem[:] = acc
+    fill_smem[0] = fill
+
+    base = counter_smem[0]
+    for j2 in range(33):
+        @pl.when(j2 < emit_total)
+        def _(j2=j2):
+            d = base + j2
+            pltpu.make_async_copy(
+                staging.at[j2],
+                cpool_hbm.at[d // 32, :, d % 32],
+                sems.at[j2],
+            ).start()
+    for j2 in range(33):
+        @pl.when(j2 < emit_total)
+        def _(j2=j2):
+            d = base + j2
+            pltpu.make_async_copy(
+                staging.at[j2],
+                cpool_hbm.at[d // 32, :, d % 32],
+                sems.at[j2],
+            ).wait()
+    counter_smem[0] = base + emit_total
+    count_out_ref[0] = base + emit_total
+
+
+def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
+             width, height, spp, tiles_x, block_w, spp_shift,
+             textures=False):
+    """Resume bounces [b_lo, b_hi) over the dense pool (1:1 rows).
+
+    RNG state is re-derived from each record's home slot: the stream
+    draws exactly 4 floats for the camera plus 4 per bounce, so the state
+    entering bounce b_lo is seed advanced 4*(b_lo+1) times — bit-identical
+    to a carried state, with no bitcast payload in the pool."""
+    f32 = jnp.float32
+    n_attr = 19 if textures else 13
+
+    def kernel(meta_ref, frame_ref, count_ref, sky_ref, *refs):
+        scene = refs[0:n_attr]
+        bounds = refs[n_attr:n_attr + 6]
+        supers = refs[n_attr + 6:n_attr + 12]
+        rest = refs[n_attr + 12:]
+        if textures:
+            tex_pool_ref, rest = rest[0], rest[1:]
+        else:
+            tex_pool_ref = None
+        cpool_ref, pool_out_ref = rest[0], rest[1]
+        t = pl.program_id(0)
+        count = count_ref[0]
+        b_lo = meta_ref[0]
+        b_hi = meta_ref[1]
+        frame = frame_ref[0]  # u32 (separate ref: Mosaic has no scalar bitcast)
+
+        @pl.when(t * 32 < count)
+        def _():
+            blk = cpool_ref[0]
+            ox, oy, oz = blk[_OX], blk[_OY], blk[_OZ]
+            dx, dy, dz = blk[_DX], blk[_DY], blk[_DZ]
+            tr, tg, tb = blk[_TR], blk[_TG], blk[_TB]
+            cr, cg, cb = blk[_CR], blk[_CG], blk[_CB]
+            hlo = blk[_HLO]
+            hhi = blk[_HHI]
+            alive_f = blk[_AL]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+            alive_f = jnp.where((t * 32 + rows) < count, alive_f, 0.0)
+
+            # home slot -> (pixel, sample) -> RNG state at bounce b_lo
+            slot = hhi.astype(jnp.int32) * _HOME_RADIX + hlo.astype(jnp.int32)
+            srow = slot >> 7
+            col = slot & 127
+            tt = srow >> 5
+            row = srow & 31
+            x = (tt % tiles_x) * block_w + (col >> spp_shift)
+            y = (tt // tiles_x) * 32 + row
+            x = jnp.minimum(jnp.maximum(x, 0), width - 1)
+            y = jnp.minimum(jnp.maximum(y, 0), height - 1)
+            smp = col & (spp - 1)
+            pix = y * width + x
+            pix_u32 = jax.lax.bitcast_convert_type(pix, jnp.uint32)
+            state = _sample_seed(pix_u32, _jenkins(frame), smp)
+            state = jax.lax.fori_loop(
+                0, 4 * (b_lo + 1), lambda i, s: _rng_next(s), state)
+
+            bounce_cond, bounce_body = _make_bounce(
+                scene, bounds, supers, sky_ref,
+                num_bounces=b_hi, chunk_size=chunk_size, n_chunks=n_chunks,
+                super_factor=super_factor, n_super=n_super,
+                n_spheres=n_spheres, tex_pool_ref=tex_pool_ref,
+            )
+            carry = (b_lo, ox, oy, oz, dx, dy, dz,
+                     tr, tg, tb, cr, cg, cb, alive_f, state)
+            carry = jax.lax.while_loop(bounce_cond, bounce_body, carry)
+            (_, ox, oy, oz, dx, dy, dz,
+             tr, tg, tb, cr, cg, cb, alive_f, _state) = carry
+
+            out = pool_out_ref
+            for comp, val in ((_OX, ox), (_OY, oy), (_OZ, oz),
+                              (_DX, dx), (_DY, dy), (_DZ, dz),
+                              (_TR, tr), (_TG, tg), (_TB, tb),
+                              (_CR, cr), (_CG, cg), (_CB, cb)):
+                out[0, comp] = val
+            out[0, _HLO] = hlo
+            out[0, _HHI] = hhi
+            out[0, _AL] = alive_f
+            out[0, _SPARE] = blk[_SPARE]
+
+    return kernel
+
+
+def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
+                   win, rb0, rb1, rb2, sems):
+    """Scatter pool contributions home. Pool homes are globally sorted, so
+    destination tile t's records live in the contiguous row window
+    [tbl[t], min(tbl[t+1], count-1)] (<=34 rows); within a window row,
+    homes are sorted along lanes, so each destination row resolves with a
+    binary search over at most two candidate rows.
+
+    The per-destination-row work runs in a fori_loop (dynamic leading-dim
+    reads/stores only): a 32x unroll made XLA's interpret-mode compile take
+    minutes and bloats the Mosaic program for no speedup."""
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    count = count_ref[0]
+    start = tbl_ref[t]
+    end = jnp.minimum(tbl_ref[t + 1], count - 1)
+    nwin = jnp.maximum(end - start + 1, 0)
+
+    for w in range(34):
+        @pl.when(w < nwin)
+        def _(w=w):
+            r = start + w
+            pltpu.make_async_copy(
+                cpool_hbm.at[r // 32, :, r % 32],
+                win.at[w],
+                sems.at[w],
+            ).start()
+    for w in range(34):
+        @pl.when(w < nwin)
+        def _(w=w):
+            r = start + w
+            pltpu.make_async_copy(
+                cpool_hbm.at[r // 32, :, r % 32],
+                win.at[w],
+                sems.at[w],
+            ).wait()
+
+    # first home slot of each window row (scalar reads; invalid -> +inf).
+    # Slot arithmetic is i32 throughout: exact past 2^24 rays/frame.
+    big = jnp.int32(1 << 29)
+    hs = []
+    for w in range(34):
+        h0 = (win[w, _HHI, 0].astype(jnp.int32) * _HOME_RADIX
+              + win[w, _HLO, 0].astype(jnp.int32))
+        hs.append(jnp.where(w < nwin, h0, big))
+
+    # channel buffers start as the incoming contributions (non-matching
+    # lanes keep them); the fori body reads/writes rows at dynamic j.
+    rowbufs = (rb0, rb1, rb2)
+    for ch in range(3):
+        rowbufs[ch][:] = contrib_in[0, ch]
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    any_win = nwin > 0
+
+    def body(j, _):
+        base = (t * 32 + j) * 128
+        a = jnp.int32(0)
+        for w in range(1, 34):
+            a = jnp.where(hs[w] <= base, jnp.int32(w), a)
+
+        tgt = base + lane1
+
+        def match_row(widx, valid_scalar):
+            blk = win[pl.ds(widx, 1)][0]  # (N_COMP, 128)
+            # searches run at (8,128): sub-8-sublane lane gathers don't
+            # lower (benchmarks/probe_mosaic.py take_along_lane_1row)
+            slots8 = jnp.broadcast_to(
+                blk[_HHI:_HHI + 1, :].astype(jnp.int32) * _HOME_RADIX
+                + blk[_HLO:_HLO + 1, :].astype(jnp.int32),
+                (8, 128))  # sorted along lanes
+            tgt8 = jnp.broadcast_to(tgt, (8, 128))
+            srcidx = _lower_bound_i32(slots8, tgt8)
+            got = jnp.take_along_axis(
+                jax.lax.bitcast_convert_type(slots8, f32), srcidx, axis=1)
+            got = jax.lax.bitcast_convert_type(got, jnp.int32)
+            m = (got[0:1] == tgt) & valid_scalar
+            gidx = jnp.broadcast_to(srcidx[0:1], (N_COMP, 128))
+            vals = jnp.take_along_axis(blk, gidx, axis=1)
+            return m, vals
+
+        ma, va = match_row(a, any_win)
+        mb, vb = match_row(jnp.minimum(a + 1, 33), any_win & (a + 1 < nwin))
+
+        for ch, (ctr, ccr) in enumerate(((_TR, _CR), (_TG, _CG),
+                                         (_TB, _CB))):
+            ra = va[ctr:ctr + 1, :] * va[ccr:ccr + 1, :]
+            rb = vb[ctr:ctr + 1, :] * vb[ccr:ccr + 1, :]
+            cur = rowbufs[ch][pl.ds(j, 1), :]
+            rowbufs[ch][pl.ds(j, 1), :] = jnp.where(
+                ma, ra, jnp.where(mb, rb, cur))
+        return 0
+
+    jax.lax.fori_loop(0, 32, body, 0)
+    for ch in range(3):
+        contrib_out[0, ch] = rowbufs[ch][:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
+                     "super_factor", "cuts", "interpret", "debug_counts"),
+)
+def render_image_regrouped(
+    accum: jnp.ndarray,  # [H*W, 3] f32
+    frame: jnp.ndarray,  # u32 scalar
+    clear: jnp.ndarray,  # bool scalar
+    scene: Scene,
+    sky: SkyState,
+    basis: CameraBasis,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    num_bounces: int,
+    chunk_size: int | None = None,
+    super_factor: int = 8,
+    cuts: tuple = (2,),
+    interpret: bool | None = None,
+    debug_counts: bool = False,
+) -> jnp.ndarray:
+    """One progressive frame via the lane-regrouped wavefront; drop-in for
+    render_image / render_image_pallas / render_image_wavefront.
+
+    cuts are the bounce indices at which live rays are densely recompacted
+    (at least one required — with no cuts use the megakernel/wavefront)."""
+    if interpret is None:
+        interpret = _is_cpu()
+    if chunk_size is None:
+        from .megakernel import default_chunk_size
+
+        chunk_size = default_chunk_size(int(scene.spheres.centers.shape[0]))
+    if spp & (spp - 1):
+        raise ValueError(f"regroup spp must be a power of two, got {spp}")
+    cuts = tuple(c for c in cuts if 0 < c < num_bounces)
+    if not cuts:
+        raise ValueError("regrouped wavefront needs at least one cut")
+    spp_shift = spp.bit_length() - 1
+    block_w = 128 >> spp_shift
+
+    n = width * height
+    wp = -(-width // block_w) * block_w
+    hp = -(-height // 32) * 32
+    tiles_x = wp // block_w
+    n_tiles = tiles_x * (hp // 32)
+    n_rows = n_tiles * 32
+    if n_rows * 128 >= (1 << 28):
+        raise ValueError("regrouped wavefront supports < 2^28 rays/frame")
+
+    (s_attrs, chunk_arrays, super_arrays,
+     n_spheres, n_chunks, n_super, tex_pool) = prepare_scene_arrays(
+        scene, basis, chunk_size, super_factor)
+    textures = tex_pool is not None
+    cam_vec = pack_camera(basis)
+    sky_vec = pack_sky(sky)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    scene_specs = [smem()] * len(s_attrs) + [smem()] * 12
+    pool_inputs, pool_specs = [], []
+    if textures:
+        pool_inputs = [tex_pool]
+        pool_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+
+    pool_blk = lambda: pl.BlockSpec((1, N_COMP, 32, 128),
+                                    lambda i: (i, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    pool_shape = jax.ShapeDtypeStruct((n_tiles, N_COMP, 32, 128),
+                                      jnp.float32)
+    contrib_blk = lambda: pl.BlockSpec((1, 3, 32, 128),
+                                       lambda i: (i, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    contrib_shape = jax.ShapeDtypeStruct((n_tiles, 3, 32, 128), jnp.float32)
+
+    # --- K0 ---
+    k0 = _make_k0(width, height, spp, cuts[0], n_spheres, chunk_size,
+                  n_chunks, super_factor, n_super, tiles_x, block_w,
+                  spp_shift, textures=textures)
+    meta0 = jnp.stack([frame.astype(jnp.uint32)])
+    pool, contrib = pl.pallas_call(
+        k0,
+        grid=(n_tiles,),
+        in_specs=[smem(), smem(), smem()] + scene_specs + pool_specs,
+        out_specs=(pool_blk(), contrib_blk()),
+        out_shape=(pool_shape, contrib_shape),
+        interpret=interpret,
+    )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
+      *pool_inputs)
+
+    count = jnp.asarray([n_rows], jnp.int32)
+    counts = []
+    pools = []
+    k1 = None
+    for pi, b_lo in enumerate(cuts):
+        # --- PACK: dense lane-granular compaction ---
+        cpool, count = pl.pallas_call(
+            _pack_kernel,
+            grid=(n_tiles,),
+            in_specs=[smem(), pool_blk()],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            out_shape=(pool_shape, jax.ShapeDtypeStruct((1,), jnp.int32)),
+            scratch_shapes=[
+                pltpu.VMEM((N_COMP, 32, 128), jnp.float32),  # pscratch
+                pltpu.VMEM((32, 128), jnp.float32),          # counts
+                pltpu.VMEM((N_COMP, 128), jnp.float32),      # acc carry
+                pltpu.VMEM((34, N_COMP, 128), jnp.float32),  # staging
+                pltpu.SMEM((1,), jnp.int32),                 # fill
+                pltpu.SMEM((1,), jnp.int32),                 # counter
+                pltpu.SemaphoreType.DMA((33,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(count, pool)
+        counts.append(count)
+
+        # --- K1: resume bounces on dense tiles ---
+        b_hi = cuts[pi + 1] if pi + 1 < len(cuts) else num_bounces
+        if k1 is None:
+            k1 = _make_k1(n_spheres, chunk_size, n_chunks, super_factor,
+                          n_super, width, height, spp, tiles_x, block_w,
+                          spp_shift, textures=textures)
+        meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
+        pool = pl.pallas_call(
+            k1,
+            grid=(n_tiles,),
+            in_specs=[smem(), smem(), smem(), smem()] + scene_specs
+            + pool_specs + [pool_blk()],
+            out_specs=pool_blk(),
+            out_shape=pool_shape,
+            interpret=interpret,
+        )(meta1, meta0, count, sky_vec, *s_attrs, *chunk_arrays,
+          *super_arrays, *pool_inputs, cpool)
+        pools.append((pool, count))
+
+    # --- UNPACK: contributions home, one pass per phase pool ---
+    tile_bases = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (32 * 128)
+    for pool_i, count_i in pools:
+        h0 = (pool_i[:, _HHI, :, 0].astype(jnp.int32) * _HOME_RADIX
+              + pool_i[:, _HLO, :, 0].astype(jnp.int32)).reshape(-1)
+        rowid = jnp.arange(n_rows, dtype=jnp.int32)
+        h0 = jnp.where(rowid < count_i[0], h0, jnp.int32(1 << 29))
+        starts = jnp.searchsorted(h0, tile_bases, side="right") - 1
+        tbl = jnp.maximum(starts, 0).astype(jnp.int32)
+        contrib = pl.pallas_call(
+            _unpack_kernel,
+            grid=(n_tiles,),
+            in_specs=[smem(), smem(),
+                      pl.BlockSpec(memory_space=pltpu.ANY),
+                      contrib_blk()],
+            out_specs=contrib_blk(),
+            out_shape=contrib_shape,
+            scratch_shapes=[
+                pltpu.VMEM((34, N_COMP, 128), jnp.float32),
+                pltpu.VMEM((32, 128), jnp.float32),
+                pltpu.VMEM((32, 128), jnp.float32),
+                pltpu.VMEM((32, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((34,)),
+            ],
+            input_output_aliases={3: 0},
+            interpret=interpret,
+        )(tbl, count_i, pool_i, contrib)
+
+    # --- contributions -> scanline pixel image (pure reshape/transpose) ---
+    tiles_y = hp // 32
+    img = contrib.reshape(tiles_y, tiles_x, 3, 32, block_w, spp)
+    img = img.sum(axis=5)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, hp, wp)
+    img = img[:, :height, :width].reshape(3, n).T
+
+    base = jnp.where(clear, jnp.zeros_like(accum), accum)
+    out = base + img
+    if debug_counts:
+        return out, (jnp.asarray([n_rows], jnp.int32),) + tuple(counts)
+    return out
