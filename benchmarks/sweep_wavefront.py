@@ -2,6 +2,11 @@
 
     python benchmarks/sweep_wavefront.py [scene] [cuts ...]
     e.g. python benchmarks/sweep_wavefront.py rtiow 2 3 2,4 2,3,4,5,6,7
+
+Cut specs prefixed with "r" run the lane-regrouped tracer
+(ops/pallas/regroup.py), bare specs the row-compacted wavefront, "mk"
+only the megakernel baseline:
+    python benchmarks/sweep_wavefront.py rtiow r2 r3 r2,4
 """
 from __future__ import annotations
 
@@ -25,9 +30,19 @@ def main() -> int:
     from weekend_raytracer_tpu.ops.pallas.megakernel import render_image_pallas
     from weekend_raytracer_tpu.ops.pallas.wavefront import render_image_wavefront
 
+    from weekend_raytracer_tpu.ops.pallas.regroup import render_image_regrouped
+
+    import re
+
     args = sys.argv[1:]
-    scene_name = args[0] if args and not args[0][0].isdigit() else "rtiow"
-    cut_specs = [a for a in args if a[0].isdigit()] or ["2"]
+
+    def is_spec(a):
+        return re.fullmatch(r"r?\d+(,\d+)*", a) is not None
+
+    scene_name = (args[0] if args and not is_spec(args[0])
+                  and args[0] != "nomk" else "rtiow")
+    cut_specs = [a for a in args if is_spec(a)] or ["2"]
+    skip_mk = "nomk" in args
     spp, bounces = 4, 8
     if scene_name == "rtiow":
         desc, cam, (w, h) = (scenes.rtiow_final(), scenes.rtiow_final_camera(),
@@ -69,14 +84,21 @@ def main() -> int:
             "mean": float(jnp.mean(accum)),
         }), flush=True)
 
-    bench("megakernel", jax.jit(partial(
-        render_image_pallas, width=w, height=h, spp=spp,
-        num_bounces=bounces), donate_argnums=(0,)))
+    if not skip_mk:
+        bench("megakernel", jax.jit(partial(
+            render_image_pallas, width=w, height=h, spp=spp,
+            num_bounces=bounces), donate_argnums=(0,)))
     for spec in cut_specs:
-        cuts = tuple(int(c) for c in spec.split(",") if c)
-        bench(f"wavefront{cuts}", jax.jit(partial(
-            render_image_wavefront, width=w, height=h, spp=spp,
-            num_bounces=bounces, phase_cuts=cuts), donate_argnums=(0,)))
+        regroup = spec.startswith("r")
+        cuts = tuple(int(c) for c in spec.lstrip("r").split(",") if c)
+        if regroup:
+            bench(f"regroup{cuts}", jax.jit(partial(
+                render_image_regrouped, width=w, height=h, spp=spp,
+                num_bounces=bounces, cuts=cuts), donate_argnums=(0,)))
+        else:
+            bench(f"wavefront{cuts}", jax.jit(partial(
+                render_image_wavefront, width=w, height=h, spp=spp,
+                num_bounces=bounces, phase_cuts=cuts), donate_argnums=(0,)))
     return 0
 
 
