@@ -75,14 +75,21 @@ def main() -> int:
             out_shape=(pool_shape, contrib_shape),
         )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays)
 
+    inv_blk = lambda: pl.BlockSpec((1, rg.N_INV, 32, 128),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    inv_shape = jax.ShapeDtypeStruct((n_tiles, rg.N_INV, 32, 128),
+                                     jnp.float32)
+
     @jax.jit
     def run_pack(pool, count):
         return pl.pallas_call(
             rg._pack_kernel, grid=(n_tiles,),
             in_specs=[smem(), pool_blk()],
-            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY), inv_blk(),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
-            out_shape=(pool_shape, jax.ShapeDtypeStruct((1,), jnp.int32)),
+            out_shape=(pool_shape, inv_shape,
+                       jax.ShapeDtypeStruct((1,), jnp.int32)),
             scratch_shapes=[
                 pltpu.VMEM((rg.N_COMP, 32, 128), jnp.float32),
                 pltpu.VMEM((32, 128), jnp.float32),
@@ -121,10 +128,10 @@ def main() -> int:
         ).astype(jnp.int32)
 
     @jax.jit
-    def run_unpack(tbl, count_i, pool_i, contrib):
+    def run_unpack(tbl, count_i, inv, pool_i, contrib):
         return pl.pallas_call(
-            rg._unpack_kernel, grid=(n_tiles,),
-            in_specs=[smem(), smem(),
+            rg._unpack_inv_kernel, grid=(n_tiles,),
+            in_specs=[smem(), smem(), inv_blk(),
                       pl.BlockSpec(memory_space=pl.ANY), contrib_blk()],
             out_specs=contrib_blk(), out_shape=contrib_shape,
             scratch_shapes=[
@@ -134,8 +141,8 @@ def main() -> int:
                 pltpu.VMEM((32, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((34,)),
             ],
-            input_output_aliases={3: 0},
-        )(tbl, count_i, pool_i, contrib)
+            input_output_aliases={4: 0},
+        )(tbl, count_i, inv, pool_i, contrib)
 
     # Single-dispatch pipelines (axon tunnel latency is ~200 ms/call, so
     # per-phase dispatch timing is useless): run the pipeline truncated
@@ -158,7 +165,7 @@ def main() -> int:
                   *chunk_arrays, *super_arrays)
                 out = contrib[0, :, :1, :1]
                 if upto >= 1:
-                    cpool, count = run_pack.__wrapped__(pool, count0)
+                    cpool, inv, count = run_pack.__wrapped__(pool, count0)
                     out = cpool[0, :, :1, :1]
                 if upto >= 2:
                     pool1 = run_k1.__wrapped__(cpool, count)
@@ -167,8 +174,8 @@ def main() -> int:
                     tbl = run_table.__wrapped__(pool1, count)
                     out = tbl[:1].astype(jnp.float32)[None]
                 if upto >= 4:
-                    contrib = run_unpack.__wrapped__(tbl, count, pool1,
-                                                     contrib)
+                    contrib = run_unpack.__wrapped__(tbl, count, inv,
+                                                     pool1, contrib)
                     out = contrib[0, :, :1, :1]
                 acc = acc + jnp.sum(out)
             return acc
@@ -182,6 +189,52 @@ def main() -> int:
         np.asarray(out)[:1]
         return (time.perf_counter() - t0) / reps
 
+    if "stats" in sys.argv:
+        # K1 occupancy/culling statistics (cf. benchmarks/kernel_stats.py
+        # for the megakernel): is K1's higher per-row-bounce cost due to
+        # dead lanes or to chunk bodies the tile cull can't skip?
+        k1s = rg._make_k1(n_spheres, chunk_size, n_chunks, super_factor,
+                          n_super, w, h, spp, tiles_x, block_w, spp_shift,
+                          stats=True)
+        stats_blk = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        stats_shape = jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32)
+
+        @jax.jit
+        def run_k1_stats(cpool, count):
+            return pl.pallas_call(
+                k1s, grid=(n_tiles,),
+                in_specs=[smem(), smem(), smem(), smem()] + scene_specs
+                + [pool_blk()],
+                out_specs=(pool_blk(), stats_blk),
+                out_shape=(pool_shape, stats_shape),
+            )(meta1, meta0, count, sky_vec, *s_attrs, *chunk_arrays,
+              *super_arrays, cpool)
+
+        pool, contrib = run_k0()
+        cpool, inv, count = run_pack(pool, count0)
+        _, st = run_k1_stats(cpool, count)
+        st = np.asarray(st)[:, :, 0]
+        n_live_tiles = -(-int(count[0]) // 32)
+        st = st[:n_live_tiles]
+        iters, live, chunks, supers = st[:, 0], st[:, 1], st[:, 2], st[:, 3]
+        lanes = 32 * 128
+        live_frac = live / (iters * lanes + 1e-9)
+        print(json.dumps({
+            "phase": "k1_stats", "cut": cut, "live_rows": int(count[0]),
+            "tiles": n_live_tiles,
+            "iters_mean": round(float(iters.mean()), 2),
+            "iters_max": float(iters.max()),
+            "live_frac_mean": round(float(live_frac.mean()), 3),
+            "chunk_entry_frac": round(
+                float((chunks / (iters * n_chunks + 1e-9)).mean()), 3),
+            "supers_per_tile": round(float(supers.mean()), 1),
+            "tests_per_segment": round(
+                float((chunks * chunk_size * lanes).sum()
+                      / max(live.sum(), 1)), 1),
+        }), flush=True)
+        return 0
+
     names = ["k0", "+pack", "+k1", "+table", "+unpack"]
     prev = 0.0
     for upto, name in enumerate(names):
@@ -192,7 +245,7 @@ def main() -> int:
         prev = dt
 
     pool, contrib = run_k0()
-    _, count = run_pack(pool, count0)
+    _, _, count = run_pack(pool, count0)
     print(json.dumps({"phase": "live_rows", "n": int(count[0]),
                       "of": n_rows}), flush=True)
     return 0

@@ -92,9 +92,12 @@ def main() -> int:
         regroup = spec.startswith("r")
         cuts = tuple(int(c) for c in spec.lstrip("r").split(",") if c)
         if regroup:
-            bench(f"regroup{cuts}", jax.jit(partial(
+            k1c = os.environ.get("WRT_K1_CHUNK")
+            k1c = int(k1c) if k1c else None
+            bench(f"regroup{cuts}:k1c{k1c}", jax.jit(partial(
                 render_image_regrouped, width=w, height=h, spp=spp,
-                num_bounces=bounces, cuts=cuts), donate_argnums=(0,)))
+                num_bounces=bounces, cuts=cuts, k1_chunk_size=k1c),
+                donate_argnums=(0,)))
         else:
             bench(f"wavefront{cuts}", jax.jit(partial(
                 render_image_wavefront, width=w, height=h, spp=spp,

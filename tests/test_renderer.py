@@ -245,7 +245,7 @@ def test_pallas_backend_renders_image_textures():
                                 num_samples_per_pixel=4, num_bounces=6),
     )
     rp = Renderer(desc, params, backend="auto")
-    assert rp.backend in ("pallas", "wavefront")
+    assert rp.backend in ("pallas", "wavefront", "regroup")
     rp.render()
     rx = Renderer(desc, params, backend="xla")
     rx.render()
@@ -254,3 +254,33 @@ def test_pallas_backend_renders_image_textures():
     rel = abs(a.mean() - b.mean()) / b.mean()
     assert rel < 5e-3, rel
     assert np.isclose(a, b, rtol=2e-2, atol=2e-3).all(-1).mean() > 0.9
+
+
+def test_regroup_backend_matches_wavefront_through_renderer():
+    """The regrouped tracer is a drop-in Renderer backend ('auto' default
+    for pow2 spp) and bit-matches the uncompacted wavefront frames."""
+    import numpy as np
+
+    desc = scenes.reference_demo()
+    params = RenderParams(
+        camera=scenes.reference_demo_camera(),
+        viewport_size=(64, 36),
+        sampling=SamplingParams(max_samples_per_pixel=8,
+                                num_samples_per_pixel=4, num_bounces=5),
+    )
+    ra = Renderer(desc, params, backend="auto")
+    assert ra.backend == "regroup"
+    ra.render()
+    rw = Renderer(desc, params, backend="wavefront")
+    rw.render()
+    np.testing.assert_array_equal(np.asarray(ra.image()),
+                                  np.asarray(rw.image()))
+
+    # too-shallow bounce budgets can't cut: auto falls back to wavefront
+    shallow = RenderParams(
+        camera=scenes.reference_demo_camera(),
+        viewport_size=(64, 36),
+        sampling=SamplingParams(max_samples_per_pixel=4,
+                                num_samples_per_pixel=4, num_bounces=1),
+    )
+    assert Renderer(desc, shallow, backend="auto").backend == "wavefront"

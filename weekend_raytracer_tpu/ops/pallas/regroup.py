@@ -79,6 +79,13 @@ N_COMP = 16
 _HOME_RADIX = 4096  # slot = hhi * 4096 + hlo; both exact in f32
 _DEAD_HHI = float(1 << 16)  # dead slot = 2^28: above any real slot
 
+# Inverse-map component layout (pack output, per ORIGINAL slot): the dense
+# pool position each live record was packed to. Pool row < 2^21 (enforced
+# by the < 2^28 rays/frame guard) is exact in f32, so no lo/hi split.
+_INV_ROW, _INV_LANE, _INV_FIRST = 0, 1, 2
+N_INV = 4  # padded to 4 sublanes
+_DEAD_ROW = float(1 << 22)  # dead-lane marker: above any real pool row
+
 
 def _sample_seed(pix_u32, frame_hash, smp):
     """Per-(pixel, frame, sample) seed — the ops/rng.py stream shared by
@@ -186,6 +193,17 @@ def _lower_bound(c, target):
     return lo
 
 
+def _cumsum_rows(x):
+    """Inclusive cumsum along SUBLANES of a (32, 128) f32 block (sublane
+    rolls verified on chip; the (32,32)@(32,128) matmul alternative
+    silently miscompiles in Mosaic)."""
+    srow = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    for s in (1, 2, 4, 8, 16):
+        sh = pltpu.roll(x, s, 0)
+        x = x + jnp.where(srow >= s, sh, 0.0)
+    return x
+
+
 def _lower_bound_i32(c_i32, target_i32):
     """lower_bound over sorted i32 values: the gather rides an f32
     bitcast (bit-preserving, benchmarks/probe_mosaic.py) so slot ids stay
@@ -203,13 +221,19 @@ def _lower_bound_i32(c_i32, target_i32):
     return lo
 
 
-def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, count_out_ref,
+def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
                  pscratch, counts_vmem, acc_vmem, staging,
                  fill_smem, counter_smem, sems):
     """Stable lane-granular compaction of live records into a globally
     dense pool. Sequential grid; the carry row (acc/fill) and the global
     row counter persist across grid steps, so every emitted row except the
-    final flush is completely full and home ids stay globally sorted."""
+    final flush is completely full and home ids stay globally sorted.
+
+    Also emits the INVERSE MAP: for every input slot, the dense pool
+    (row, lane) its record was packed to (dead lanes get _DEAD_ROW), plus
+    the pool row of each input row's first record. The unpack gathers
+    through this map with zero searches. Tiles past the live count skip
+    all compaction work (their inv block is garbage, never read)."""
     f32 = jnp.float32
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -222,93 +246,120 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, count_out_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
-    limit = count_in_ref[0] - t * 32
-    alive = jnp.where(rows < limit, pool_ref[0, _AL], 0.0)
-
-    c = _cumsum_lanes(alive)
-    counts_vmem[:] = c
-    k_vec = c[:, 127:128]
-    target = lane.astype(f32) + 1.0
-    src = _lower_bound(c, target)
-    valid = target <= k_vec
-
-    for comp in range(N_COMP):
-        g = jnp.take_along_axis(pool_ref[0, comp], src, axis=1)
-        if comp == _AL:
-            g = valid.astype(f32)
-        elif comp == _HHI:
-            g = jnp.where(valid, g, _DEAD_HHI)
-        else:
-            g = jnp.where(valid, g, 0.0)
-        pscratch[comp] = g
-
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (N_COMP, 128), 1)
-    acc = acc_vmem[:]
-    fill = fill_smem[0]
-    emit = jnp.int32(0)
-    zero_blk = jnp.zeros((N_COMP, 128), f32)
-    for j in range(32):
-        k = counts_vmem[j, 127].astype(jnp.int32)
-        blk = pscratch[:, j, :]
-        idx = (lane1 - fill) & 127
-        rolled = jnp.take_along_axis(blk, idx, axis=1)
-        tot = fill + k
-        over = tot >= 128
-        merged = jnp.where(lane1 < fill, acc, rolled)
+    limit = count_in_ref[0] - t * 32
 
-        @pl.when(over)
-        def _(merged=merged, emit=emit):
-            staging[pl.ds(emit, 1)] = merged[None]
-
-        acc = jnp.where(
-            over,
-            jnp.where(lane1 < tot - 128, rolled, zero_blk),
-            jnp.where(lane1 < tot, merged, zero_blk),
-        )
-        fill = jnp.where(over, tot - 128, tot)
-        emit = jnp.where(over, emit + 1, emit)
-
-    do_flush = is_last & (fill > 0)
-
-    @pl.when(do_flush)
+    @pl.when(limit > 0)
     def _():
-        # dead tail lanes: home -> sentinel so the unpack can never match
-        flush = acc
-        tail = lane1 >= fill
+        alive = jnp.where(rows < limit, pool_ref[0, _AL], 0.0)
+
+        c = _cumsum_lanes(alive)
+        counts_vmem[:] = c
+        k_vec = c[:, 127:128]
+        target = lane.astype(f32) + 1.0
+        src = _lower_bound(c, target)
+        valid = target <= k_vec
+
+        for comp in range(N_COMP):
+            g = jnp.take_along_axis(pool_ref[0, comp], src, axis=1)
+            if comp == _AL:
+                g = valid.astype(f32)
+            elif comp == _HHI:
+                g = jnp.where(valid, g, _DEAD_HHI)
+            else:
+                g = jnp.where(valid, g, 0.0)
+            pscratch[comp] = g
+
+        base = counter_smem[0]
+        fill0 = fill_smem[0]
+
+        # Inverse map: record at (row j, rank r) lands at global dense
+        # index G_j + r where G_j = records packed before row j.
+        k_bcast = jnp.broadcast_to(k_vec, (32, 128))
+        row_base = _cumsum_rows(k_bcast) - k_bcast
+        g_idx = base * 128 + fill0 + row_base.astype(jnp.int32)
+        d_idx = g_idx + c.astype(jnp.int32) - 1
+        alive_b = alive > 0.5
+        inv_ref[0, _INV_ROW] = jnp.where(
+            alive_b, (d_idx >> 7).astype(f32), _DEAD_ROW)
+        inv_ref[0, _INV_LANE] = jnp.where(
+            alive_b, (d_idx & 127).astype(f32), 0.0)
+        inv_ref[0, _INV_FIRST] = (g_idx >> 7).astype(f32)
+        inv_ref[0, 3] = jnp.zeros((32, 128), f32)
+
+        acc = acc_vmem[:]
+        fill = fill0
+        emit = jnp.int32(0)
+        zero_blk = jnp.zeros((N_COMP, 128), f32)
+        for j in range(32):
+            k = counts_vmem[j, 127].astype(jnp.int32)
+            blk = pscratch[:, j, :]
+            idx = (lane1 - fill) & 127
+            rolled = jnp.take_along_axis(blk, idx, axis=1)
+            tot = fill + k
+            over = tot >= 128
+            merged = jnp.where(lane1 < fill, acc, rolled)
+
+            @pl.when(over)
+            def _(merged=merged, emit=emit):
+                staging[pl.ds(emit, 1)] = merged[None]
+
+            acc = jnp.where(
+                over,
+                jnp.where(lane1 < tot - 128, rolled, zero_blk),
+                jnp.where(lane1 < tot, merged, zero_blk),
+            )
+            fill = jnp.where(over, tot - 128, tot)
+            emit = jnp.where(over, emit + 1, emit)
+
+        acc_vmem[:] = acc
+        fill_smem[0] = fill
+
+        for j2 in range(32):
+            @pl.when(j2 < emit)
+            def _(j2=j2):
+                d = base + j2
+                pltpu.make_async_copy(
+                    staging.at[j2],
+                    cpool_hbm.at[d // 32, :, d % 32],
+                    sems.at[j2],
+                ).start()
+        for j2 in range(32):
+            @pl.when(j2 < emit)
+            def _(j2=j2):
+                d = base + j2
+                pltpu.make_async_copy(
+                    staging.at[j2],
+                    cpool_hbm.at[d // 32, :, d % 32],
+                    sems.at[j2],
+                ).wait()
+        counter_smem[0] = base + emit
+
+    @pl.when(is_last & (fill_smem[0] > 0))
+    def _():
+        # flush the partial carry row; dead tail lanes get the home
+        # sentinel so no unpack pass can ever match them
+        base = counter_smem[0]
+        flush = acc_vmem[:]
+        tail = lane1 >= fill_smem[0]
         comp_i = jax.lax.broadcasted_iota(jnp.int32, (N_COMP, 128), 0)
         flush = jnp.where(tail & (comp_i == _HHI), _DEAD_HHI, flush)
-        staging[pl.ds(emit, 1)] = flush[None]
+        staging[pl.ds(0, 1)] = flush[None]
+        copy = pltpu.make_async_copy(
+            staging.at[0],
+            cpool_hbm.at[base // 32, :, base % 32],
+            sems.at[32],
+        )
+        copy.start()
+        copy.wait()
+        counter_smem[0] = base + 1
 
-    emit_total = jnp.where(do_flush, emit + 1, emit)
-    acc_vmem[:] = acc
-    fill_smem[0] = fill
-
-    base = counter_smem[0]
-    for j2 in range(33):
-        @pl.when(j2 < emit_total)
-        def _(j2=j2):
-            d = base + j2
-            pltpu.make_async_copy(
-                staging.at[j2],
-                cpool_hbm.at[d // 32, :, d % 32],
-                sems.at[j2],
-            ).start()
-    for j2 in range(33):
-        @pl.when(j2 < emit_total)
-        def _(j2=j2):
-            d = base + j2
-            pltpu.make_async_copy(
-                staging.at[j2],
-                cpool_hbm.at[d // 32, :, d % 32],
-                sems.at[j2],
-            ).wait()
-    counter_smem[0] = base + emit_total
-    count_out_ref[0] = base + emit_total
+    count_out_ref[0] = counter_smem[0]
 
 
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
              width, height, spp, tiles_x, block_w, spp_shift,
-             textures=False):
+             textures=False, stats=False):
     """Resume bounces [b_lo, b_hi) over the dense pool (1:1 rows).
 
     RNG state is re-derived from each record's home slot: the stream
@@ -328,6 +379,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
         else:
             tex_pool_ref = None
         cpool_ref, pool_out_ref = rest[0], rest[1]
+        stats_ref = rest[2] if stats else None
         t = pl.program_id(0)
         count = count_ref[0]
         b_lo = meta_ref[0]
@@ -368,13 +420,22 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                 scene, bounds, supers, sky_ref,
                 num_bounces=b_hi, chunk_size=chunk_size, n_chunks=n_chunks,
                 super_factor=super_factor, n_super=n_super,
-                n_spheres=n_spheres, tex_pool_ref=tex_pool_ref,
+                n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
             )
             carry = (b_lo, ox, oy, oz, dx, dy, dz,
                      tr, tg, tb, cr, cg, cb, alive_f, state)
+            if stats:
+                carry = carry + (jnp.float32(0.0), jnp.int32(0),
+                                 jnp.int32(0))
             carry = jax.lax.while_loop(bounce_cond, bounce_body, carry)
-            (_, ox, oy, oz, dx, dy, dz,
-             tr, tg, tb, cr, cg, cb, alive_f, _state) = carry
+            (it_end, ox, oy, oz, dx, dy, dz,
+             tr, tg, tb, cr, cg, cb, alive_f, _state) = carry[:15]
+            if stats:
+                rows_st = [(it_end - b_lo).astype(f32), carry[15],
+                           carry[16].astype(f32), carry[17].astype(f32)]
+                stats_ref[0] = jnp.concatenate(
+                    [jnp.full((1, 128), v, f32) for v in rows_st]
+                    + [jnp.zeros((4, 128), f32)], axis=0)
 
             out = pool_out_ref
             for comp, val in ((_OX, ox), (_OY, oy), (_OZ, oz),
@@ -388,6 +449,73 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
             out[0, _SPARE] = blk[_SPARE]
 
     return kernel
+
+
+def _unpack_inv_kernel(tbl_ref, count_ref, inv_ref, cpool_hbm, contrib_in,
+                       contrib_out, win, rb0, rb1, rb2, sems):
+    """Scatter pool contributions home through the pack's inverse map:
+    every destination lane knows its record's exact dense (row, lane), so
+    no binary search is needed — one lane-gather per candidate window row.
+    A destination row's records occupy consecutive dense indices, so they
+    span at most two pool rows, starting at the row's _INV_FIRST."""
+    t = pl.program_id(0)
+    count = count_ref[0]
+    start = tbl_ref[t]
+    end = jnp.minimum(tbl_ref[t + 1], count - 1)
+    nwin = jnp.maximum(end - start + 1, 0)
+
+    for w in range(34):
+        @pl.when(w < nwin)
+        def _(w=w):
+            r = start + w
+            pltpu.make_async_copy(
+                cpool_hbm.at[r // 32, :, r % 32],
+                win.at[w],
+                sems.at[w],
+            ).start()
+    for w in range(34):
+        @pl.when(w < nwin)
+        def _(w=w):
+            r = start + w
+            pltpu.make_async_copy(
+                cpool_hbm.at[r // 32, :, r % 32],
+                win.at[w],
+                sems.at[w],
+            ).wait()
+
+    rowbufs = (rb0, rb1, rb2)
+    for ch in range(3):
+        rowbufs[ch][:] = contrib_in[0, ch]
+
+    @pl.when(nwin > 0)
+    def _():
+        def body(j, _):
+            first = inv_ref[0, _INV_FIRST, j, 0].astype(jnp.int32)
+            a = jnp.clip(first - start, 0, 33)
+            prow_f = inv_ref[0, _INV_ROW, pl.ds(j, 1), :]
+            lidx = inv_ref[0, _INV_LANE, pl.ds(j, 1), :].astype(jnp.int32)
+            prow = prow_f.astype(jnp.int32)
+            off = prow - (start + a)
+            use_b = off == 1
+            live = (prow_f < _DEAD_ROW) & ((off == 0) | use_b)
+            # gather component rows _TR.._CB (+2 pad) from both candidates
+            blk_a = win[pl.ds(a, 1)][0][_TR:_TR + 8]
+            blk_b = win[pl.ds(jnp.minimum(a + 1, 33), 1)][0][_TR:_TR + 8]
+            idx8 = jnp.broadcast_to(lidx, (8, 128))
+            va = jnp.take_along_axis(blk_a, idx8, axis=1)
+            vb = jnp.take_along_axis(blk_b, idx8, axis=1)
+            for ch in range(3):
+                ra = va[ch:ch + 1] * va[ch + 3:ch + 4]
+                rb = vb[ch:ch + 1] * vb[ch + 3:ch + 4]
+                cur = rowbufs[ch][pl.ds(j, 1), :]
+                rowbufs[ch][pl.ds(j, 1), :] = jnp.where(
+                    live, jnp.where(use_b, rb, ra), cur)
+            return 0
+
+        jax.lax.fori_loop(0, 32, body, 0)
+
+    for ch in range(3):
+        contrib_out[0, ch] = rowbufs[ch][:]
 
 
 def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
@@ -445,7 +573,7 @@ def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     any_win = nwin > 0
 
-    def body(j, _):
+    def _body_all(j, _):
         base = (t * 32 + j) * 128
         a = jnp.int32(0)
         for w in range(1, 34):
@@ -483,7 +611,11 @@ def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
                 ma, ra, jnp.where(mb, rb, cur))
         return 0
 
-    jax.lax.fori_loop(0, 32, body, 0)
+    @pl.when(any_win)
+    def _():
+        # destination tiles with no live records pass contrib through
+        jax.lax.fori_loop(0, 32, _body_all, 0)
+
     for ch in range(3):
         contrib_out[0, ch] = rowbufs[ch][:]
 
@@ -491,7 +623,8 @@ def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
-                     "super_factor", "cuts", "interpret", "debug_counts"),
+                     "super_factor", "cuts", "k1_chunk_size", "interpret",
+                     "debug_counts"),
 )
 def render_image_regrouped(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -508,6 +641,7 @@ def render_image_regrouped(
     chunk_size: int | None = None,
     super_factor: int = 8,
     cuts: tuple = (2,),
+    k1_chunk_size: int | None = None,
     interpret: bool | None = None,
     debug_counts: bool = False,
 ) -> jnp.ndarray:
@@ -515,7 +649,13 @@ def render_image_regrouped(
     render_image / render_image_pallas / render_image_wavefront.
 
     cuts are the bounce indices at which live rays are densely recompacted
-    (at least one required — with no cuts use the megakernel/wavefront)."""
+    (at least one required — with no cuts use the megakernel/wavefront).
+
+    k1_chunk_size sets a separate cull-chunk granularity for the resume
+    phases: post-cut rays are omnidirectional, so tile-granularity culling
+    saturates (~0.88 chunk entry measured on RTiOW) and fatter chunks win
+    by shedding per-chunk cond + AABB-test overhead; pre-cut camera rays
+    are coherent and want tight chunks. Default: 4x the K0 chunk size."""
     if interpret is None:
         interpret = _is_cpu()
     if chunk_size is None:
@@ -543,6 +683,18 @@ def render_image_regrouped(
      n_spheres, n_chunks, n_super, tex_pool) = prepare_scene_arrays(
         scene, basis, chunk_size, super_factor)
     textures = tex_pool is not None
+    if k1_chunk_size is None:
+        k1_chunk_size = 4 * chunk_size if n_chunks > 0 else chunk_size
+    if k1_chunk_size != chunk_size:
+        # separate cull granularity for the omnidirectional resume phases;
+        # sphere padding/order is self-consistent within each array set
+        (s_attrs1, chunk_arrays1, super_arrays1,
+         _n_sph1, n_chunks1, n_super1, tex_pool1) = prepare_scene_arrays(
+            scene, basis, k1_chunk_size, super_factor)
+    else:
+        (s_attrs1, chunk_arrays1, super_arrays1, n_chunks1, n_super1,
+         tex_pool1) = (s_attrs, chunk_arrays, super_arrays, n_chunks,
+                       n_super, tex_pool)
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -580,16 +732,23 @@ def render_image_regrouped(
     count = jnp.asarray([n_rows], jnp.int32)
     counts = []
     pools = []
+    invs = []
+    inv_blk = lambda: pl.BlockSpec((1, N_INV, 32, 128),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    inv_shape = jax.ShapeDtypeStruct((n_tiles, N_INV, 32, 128), jnp.float32)
     k1 = None
     for pi, b_lo in enumerate(cuts):
         # --- PACK: dense lane-granular compaction ---
-        cpool, count = pl.pallas_call(
+        cpool, inv, count = pl.pallas_call(
             _pack_kernel,
             grid=(n_tiles,),
             in_specs=[smem(), pool_blk()],
             out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                       inv_blk(),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
-            out_shape=(pool_shape, jax.ShapeDtypeStruct((1,), jnp.int32)),
+            out_shape=(pool_shape, inv_shape,
+                       jax.ShapeDtypeStruct((1,), jnp.int32)),
             scratch_shapes=[
                 pltpu.VMEM((N_COMP, 32, 128), jnp.float32),  # pscratch
                 pltpu.VMEM((32, 128), jnp.float32),          # counts
@@ -603,13 +762,15 @@ def render_image_regrouped(
             interpret=interpret,
         )(count, pool)
         counts.append(count)
+        invs.append(inv)
 
         # --- K1: resume bounces on dense tiles ---
         b_hi = cuts[pi + 1] if pi + 1 < len(cuts) else num_bounces
         if k1 is None:
-            k1 = _make_k1(n_spheres, chunk_size, n_chunks, super_factor,
-                          n_super, width, height, spp, tiles_x, block_w,
+            k1 = _make_k1(n_spheres, k1_chunk_size, n_chunks1, super_factor,
+                          n_super1, width, height, spp, tiles_x, block_w,
                           spp_shift, textures=textures)
+            pool_inputs1 = [tex_pool1] if textures else []
         meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
         pool = pl.pallas_call(
             k1,
@@ -619,37 +780,56 @@ def render_image_regrouped(
             out_specs=pool_blk(),
             out_shape=pool_shape,
             interpret=interpret,
-        )(meta1, meta0, count, sky_vec, *s_attrs, *chunk_arrays,
-          *super_arrays, *pool_inputs, cpool)
+        )(meta1, meta0, count, sky_vec, *s_attrs1, *chunk_arrays1,
+          *super_arrays1, *pool_inputs1, cpool)
         pools.append((pool, count))
 
-    # --- UNPACK: contributions home, one pass per phase pool ---
+    # --- UNPACK: contributions home, one pass per phase pool. The first
+    # phase (original slots) rides the pack's inverse map — zero searches;
+    # later phases' pools are still globally home-sorted, so they use the
+    # binary-search unpack (their inverse maps are in previous-pool
+    # coordinates, not home coordinates).
     tile_bases = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (32 * 128)
-    for pool_i, count_i in pools:
+    for pi, (pool_i, count_i) in enumerate(pools):
         h0 = (pool_i[:, _HHI, :, 0].astype(jnp.int32) * _HOME_RADIX
               + pool_i[:, _HLO, :, 0].astype(jnp.int32)).reshape(-1)
         rowid = jnp.arange(n_rows, dtype=jnp.int32)
         h0 = jnp.where(rowid < count_i[0], h0, jnp.int32(1 << 29))
         starts = jnp.searchsorted(h0, tile_bases, side="right") - 1
         tbl = jnp.maximum(starts, 0).astype(jnp.int32)
-        contrib = pl.pallas_call(
-            _unpack_kernel,
-            grid=(n_tiles,),
-            in_specs=[smem(), smem(),
-                      pl.BlockSpec(memory_space=pltpu.ANY),
-                      contrib_blk()],
-            out_specs=contrib_blk(),
-            out_shape=contrib_shape,
-            scratch_shapes=[
-                pltpu.VMEM((34, N_COMP, 128), jnp.float32),
-                pltpu.VMEM((32, 128), jnp.float32),
-                pltpu.VMEM((32, 128), jnp.float32),
-                pltpu.VMEM((32, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((34,)),
-            ],
-            input_output_aliases={3: 0},
-            interpret=interpret,
-        )(tbl, count_i, pool_i, contrib)
+        scratch = [
+            pltpu.VMEM((34, N_COMP, 128), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((34,)),
+        ]
+        if pi == 0:
+            contrib = pl.pallas_call(
+                _unpack_inv_kernel,
+                grid=(n_tiles,),
+                in_specs=[smem(), smem(), inv_blk(),
+                          pl.BlockSpec(memory_space=pltpu.ANY),
+                          contrib_blk()],
+                out_specs=contrib_blk(),
+                out_shape=contrib_shape,
+                scratch_shapes=scratch,
+                input_output_aliases={4: 0},
+                interpret=interpret,
+            )(tbl, count_i, invs[0], pool_i, contrib)
+        else:
+            contrib = pl.pallas_call(
+                _unpack_kernel,
+                grid=(n_tiles,),
+                in_specs=[smem(), smem(),
+                          pl.BlockSpec(memory_space=pltpu.ANY),
+                          contrib_blk()],
+                out_specs=contrib_blk(),
+                out_shape=contrib_shape,
+                scratch_shapes=scratch,
+                input_output_aliases={3: 0},
+                interpret=interpret,
+            )(tbl, count_i, pool_i, contrib)
 
     # --- contributions -> scanline pixel image (pure reshape/transpose) ---
     tiles_y = hp // 32

@@ -103,9 +103,11 @@ class Renderer:
     ----------
     scene : SceneDesc or prebuilt ops.tracer.Scene
     params : RenderParams (validated on construction and on update)
-    backend : "auto" | "wavefront" (fused kernels, sample-folded lanes +
-        optional mid-frame ray compaction) | "pallas" (fused megakernel) |
-        "xla" (jitted wavefront tracer; full-resolution texture reference)
+    backend : "auto" | "regroup" (fused kernels + lane-granular dense ray
+        regrouping between bounce phases — fastest measured) | "wavefront"
+        (fused kernels, sample-folded lanes + optional row compaction) |
+        "pallas" (fused megakernel) | "xla" (jitted wavefront tracer;
+        full-resolution texture reference)
     mesh : optional jax.sharding.Mesh (tiles x spp axes, see
         parallel.sharding.make_mesh). When given, the accumulator is
         row-sharded over the tile axis and every frame renders under
@@ -129,17 +131,19 @@ class Renderer:
             # Fused Pallas kernels handle solid/procedural materials
             # natively and image textures via the in-kernel mipped LUT; the
             # XLA path remains the full-resolution-texture reference.
-            # The wavefront variant's sample-folded lane layout is the
-            # fastest measured, but requires power-of-two spp and is not
-            # yet plumbed through the row-sharded mesh path.
+            # The regrouped wavefront (dense lane-granular ray compaction
+            # at the bounce cut) is the fastest measured; it requires
+            # power-of-two spp, a bounce budget deep enough to cut, and is
+            # not yet plumbed through the row-sharded mesh path.
             spp = params.sampling.num_samples_per_pixel
+            bounces = params.sampling.num_bounces
             if mesh is None and spp & (spp - 1) == 0:
-                backend = "wavefront"
+                backend = "regroup" if bounces >= 2 else "wavefront"
             else:
                 backend = "pallas"
-        if backend == "wavefront" and mesh is not None:
+        if backend in ("wavefront", "regroup") and mesh is not None:
             raise RenderParamsValidationError(
-                "backend='wavefront' does not support mesh sharding yet; "
+                f"backend='{backend}' does not support mesh sharding yet; "
                 "use backend='pallas' (or 'auto') with a mesh"
             )
         self.backend = backend
@@ -224,6 +228,19 @@ class Renderer:
                     num_bounces=bounces,
                     mesh=self.mesh,
                     backend=self.backend,
+                )
+            elif self.backend == "regroup":
+                from .ops.pallas.regroup import render_image_regrouped
+
+                # cut at bounce 3 (best measured on RTiOW-1080p,
+                # docs/PERF.md); clamp into the valid (0, bounces) range
+                fn = partial(
+                    render_image_regrouped,
+                    width=w,
+                    height=h,
+                    spp=spp,
+                    num_bounces=bounces,
+                    cuts=(min(3, bounces - 1),),
                 )
             elif self.backend == "wavefront":
                 from .ops.pallas.wavefront import render_image_wavefront
