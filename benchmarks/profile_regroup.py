@@ -28,14 +28,25 @@ def main() -> int:
     from weekend_raytracer_tpu.models.camera import CameraBasis
     from weekend_raytracer_tpu.models.sky import SkyParams, to_sky_state
 
-    cut = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    w, h, spp, bounces = 1920, 1080, 4, 8
-    desc, cam = scenes.rtiow_final(), scenes.rtiow_final_camera()
+    args = [a for a in sys.argv[1:] if a != "stats"]
+    cut = int(args[0]) if args and args[0].isdigit() else 3
+    scene_name = next((a for a in args if not a.isdigit()), "rtiow")
+    if scene_name == "random10k":
+        w, h, spp, bounces = 3840, 2160, 4, 8
+        desc, cam = (scenes.random_spheres(10000),
+                     scenes.random_spheres_camera())
+    else:
+        w, h, spp, bounces = 1920, 1080, 4, 8
+        desc, cam = scenes.rtiow_final(), scenes.rtiow_final_camera()
     scene = desc.build()
     basis = CameraBasis.create(cam, (w, h))
     sky = to_sky_state(SkyParams())
 
-    chunk_size = 32
+    from weekend_raytracer_tpu.ops.pallas.megakernel import (
+        default_chunk_size,
+    )
+
+    chunk_size = default_chunk_size(desc.num_spheres)
     super_factor = 8
     spp_shift = spp.bit_length() - 1
     block_w = 128 >> spp_shift
@@ -51,7 +62,7 @@ def main() -> int:
     cam_vec = rg.pack_camera(basis)
     sky_vec = rg.pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    scene_specs = [smem()] * len(s_attrs) + [smem()] * 12
+    scene_specs = [smem()] * len(s_attrs) + [smem()] * 13
     pool_blk = lambda: pl.BlockSpec((1, rg.N_COMP, 32, 128),
                                     lambda i: (i, 0, 0, 0),
                                     memory_space=pltpu.VMEM)

@@ -94,10 +94,13 @@ def main() -> int:
         if regroup:
             k1c = os.environ.get("WRT_K1_CHUNK")
             k1c = int(k1c) if k1c else None
-            bench(f"regroup{cuts}:k1c{k1c}", jax.jit(partial(
+            k0c = os.environ.get("WRT_CHUNK")
+            k0c = int(k0c) if k0c else None
+            k1t = int(os.environ.get("WRT_K1_TSUB", "32"))
+            bench(f"regroup{cuts}:c{k0c}:k1c{k1c}:t{k1t}", jax.jit(partial(
                 render_image_regrouped, width=w, height=h, spp=spp,
-                num_bounces=bounces, cuts=cuts, k1_chunk_size=k1c),
-                donate_argnums=(0,)))
+                num_bounces=bounces, cuts=cuts, chunk_size=k0c,
+                k1_chunk_size=k1c, k1_tsub=k1t), donate_argnums=(0,)))
         else:
             bench(f"wavefront{cuts}", jax.jit(partial(
                 render_image_wavefront, width=w, height=h, spp=spp,

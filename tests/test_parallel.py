@@ -187,6 +187,41 @@ def test_renderer_mesh_pallas_backend():
     assert np.isfinite(r.mean_radiance()).all()
 
 
+def test_regroup_backend_sharded(setup):
+    """The lane-regrouped wavefront composes with shard_map: shard-local
+    ray pools with global RNG/camera coordinates reproduce the
+    single-device regrouped image bit for bit."""
+    w, h, scene, sky, basis = setup
+    mesh = make_mesh(jax.devices()[:4], spp_shards=1)
+    acc = sharded_accumulator(w, h, mesh)
+    out = np.asarray(render_image_sharded(
+        acc, jnp.uint32(0), jnp.bool_(True), scene, sky, basis,
+        width=w, height=h, spp=2, num_bounces=4, mesh=mesh,
+        backend="regroup",
+    ))
+    from weekend_raytracer_tpu.ops.pallas.regroup import (
+        render_image_regrouped,
+    )
+
+    ref = np.asarray(render_image_regrouped(
+        jnp.zeros((w * h, 3), jnp.float32), jnp.uint32(0), jnp.bool_(True),
+        scene, sky, basis, width=w, height=h, spp=2, num_bounces=4,
+        cuts=(3,),
+    ))
+    # same kernels, same global coordinates: only the band split differs,
+    # and regrouping is bit-invariant to it
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_renderer_mesh_auto_picks_regroup():
+    mesh = make_mesh(jax.devices()[:4], spp_shards=1)
+    r = _mesh_renderer(mesh, backend="auto")
+    assert r.backend == "regroup"
+    assert r.render_frame()
+    assert r.image().shape == (35, 64, 3)
+    assert np.isfinite(r.mean_radiance()).all()
+
+
 def test_renderer_mesh_spp_shards_and_checkpoint(tmp_path):
     """2D mesh via the Renderer; checkpoint round-trips across mesh and
     single-device renderers (padding rows added/stripped)."""

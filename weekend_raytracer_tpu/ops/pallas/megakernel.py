@@ -48,6 +48,7 @@ from ..intersect import MAX_T, MIN_T
 from ..tracer import Scene
 
 EPS = 1.0e-3
+N_PRIORS = 4  # largest-|radius| spheres pre-swept to seed best-t
 PI = 3.14159265358979
 FRAC_1_PI = 1.0 / PI
 TWO_PI = 2.0 * PI
@@ -182,9 +183,104 @@ def _inc(carry, pos):
     return tuple(lst)
 
 
+def build_frustum_lists(basis: CameraBasis, chunk_bounds, tiles_x: int,
+                        tiles_y: int, tile_w: int, tile_h: int,
+                        width: int, height: int, row_offset=0,
+                        full_height: int | None = None):
+    """Per-tile primary-ray chunk lists (XLA-side, cheap, fully traced).
+
+    Bounce-0 rays of a screen tile all lie inside the tile's thin-lens
+    frustum, which is known before the kernel runs — so the kernel's
+    bounce-0 sweep can visit a precomputed chunk list with ZERO in-kernel
+    AABB tests (the "lever not pulled" of docs/PERF.md r1). The test is
+    conservative, so results are bit-identical: a chunk is dropped only
+    when NO tile ray can hit it.
+
+    Geometry: 4 side planes through the eye containing the screen-rect
+    edges (jitter-expanded by one pixel) + a near plane along the central
+    direction. Aperture makes the beam a spindle (waist at the focus
+    plane, re-expanding beyond), handled by relaxing each plane test per
+    chunk by lens_r * (1 + D/focus) with D the chunk's farthest-corner
+    distance — a bound on any ray's lateral deviation from the pinhole
+    frustum at distance D.
+
+    Returns (n_tiles, 1 + NCP) i32: per tile [count, chunk ids..., pad].
+    """
+    (clox, cloy, cloz, chix, chiy, chiz) = chunk_bounds
+    ncp = clox.shape[0]
+    eye = basis.eye
+    hvec = basis.horizontal
+    vvec = basis.vertical
+    llc = basis.lower_left_corner
+    lens_r = basis.lens_radius
+
+    tx = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32) % tiles_x
+    ty = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32) // tiles_x
+    # pixel rects (clamped like the kernel's padded lanes) + 1px jitter
+    x0 = (tx * tile_w).astype(jnp.float32)
+    x1 = jnp.minimum((tx + 1) * tile_w - 1, width - 1).astype(
+        jnp.float32) + 1.0
+    if full_height is None:
+        full_height = height
+    roff = jnp.asarray(row_offset).astype(jnp.float32)
+    y0 = (ty * tile_h).astype(jnp.float32) + roff
+    y1 = (jnp.minimum((ty + 1) * tile_h - 1, height - 1).astype(jnp.float32)
+          + 1.0 + roff)
+    su0, su1 = x0 / width, x1 / width
+    # y grows downward; shard bands live at a global row offset
+    sv1, sv0 = 1.0 - y0 / full_height, 1.0 - y1 / full_height
+
+    def rect_pt(su, sv):
+        return (llc[None, :] + su[:, None] * hvec[None, :]
+                + sv[:, None] * vvec[None, :] - eye[None, :])  # [T, 3]
+
+    c00 = rect_pt(su0, sv0)
+    c10 = rect_pt(su1, sv0)
+    c11 = rect_pt(su1, sv1)
+    c01 = rect_pt(su0, sv1)
+    center = rect_pt(0.5 * (su0 + su1), 0.5 * (sv0 + sv1))
+    focus = jnp.linalg.norm(center, axis=-1)  # ~focus distance
+
+    def unit(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               1.0e-30)
+
+    planes = []
+    for a, b in ((c00, c10), (c10, c11), (c11, c01), (c01, c00)):
+        n = unit(jnp.cross(a, b))
+        # orient inward (toward the rect center)
+        flip = jnp.sum(n * center, axis=-1, keepdims=True) < 0.0
+        planes.append(jnp.where(flip, -n, n))
+    planes.append(unit(center))  # near plane (dirs all forward of it)
+
+    # chunk AABB corners relative to eye: [NCP, 8, 3]
+    xs = jnp.stack([clox, chix], -1)  # [NCP, 2]
+    ys = jnp.stack([cloy, chiy], -1)
+    zs = jnp.stack([cloz, chiz], -1)
+    corners = jnp.stack(
+        [jnp.stack([xs[:, i], ys[:, j], zs[:, k]], -1)
+         for i in (0, 1) for j in (0, 1) for k in (0, 1)], axis=1,
+    ) - eye[None, None, :]
+    dmax = jnp.max(jnp.linalg.norm(corners, axis=-1), axis=-1)  # [NCP]
+    slack = lens_r * (1.0 + dmax[None, :] / focus[:, None])  # [T, NCP]
+
+    keep = jnp.ones((tiles_x * tiles_y, ncp), bool)
+    for p in planes:
+        # farthest corner along the inward normal: outside if even it
+        # is beyond the relaxed plane
+        fmax = jnp.max(jnp.einsum("td,ncd->tnc", p, corners), axis=-1)
+        keep &= fmax >= -slack
+    cnt = keep.sum(axis=1).astype(jnp.int32)
+    cidx = jnp.arange(ncp, dtype=jnp.int32)[None, :]
+    order = jnp.argsort(
+        jnp.where(keep, cidx, cidx + ncp), axis=1).astype(jnp.int32)
+    return jnp.concatenate([cnt[:, None], order], axis=1)
+
+
 def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                  n_chunks, super_factor, n_super, n_spheres,
-                 stats: bool = False, tex_pool_ref=None):
+                 stats: bool = False, tex_pool_ref=None, frustum_ref=None,
+                 frustum_row=None):
     """Build the (cond, body) pair for the per-bounce physics while_loop.
 
     One bounce = culled closest-hit sweep + winner-attribute retrieval +
@@ -206,7 +302,7 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
     else:
         (scx, scy, scz, srad, smid, smx,
          sa1r, sa1g, sa1b, sa2r, sa2g, sa2b, skq) = scene
-    (clox, cloy, cloz, chix, chiy, chiz) = bounds
+    (clox, cloy, cloz, chix, chiy, chiz, priors_ref) = bounds
     (slox, sloy, sloz, shix, shiy, shiz) = supers
     f32 = jnp.float32
     culling = n_chunks > 0
@@ -363,6 +459,16 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                 alive & (tfar >= tnear) & (tfar > MIN_T) & (tnear < bt)
             )
 
+        if culling:
+            # seed best-t from the largest spheres before any cull test
+            for p in range(N_PRIORS):
+                sp = priors_ref[p]
+                tsp = sphere_ts(sp, init)
+                bt0, bi0 = init[0], init[1]
+                bet = tsp < bt0
+                init = (jnp.where(bet, tsp, bt0),
+                        jnp.where(bet, sp.astype(f32), bi0), *init[2:])
+
         def chunk_body(c, carry):
             def taken(cr):
                 cr = sweep_span_tree(c * chunk_size, chunk_size, cr)
@@ -394,9 +500,32 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                     carry,
                 )
 
-            res = jax.lax.fori_loop(0, n_super, super_body, init)
+            def full_sweep(carry0):
+                return jax.lax.fori_loop(0, n_super, super_body, carry0)
         elif culling:
-            res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+            def full_sweep(carry0):
+                return jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
+        if culling:
+            if frustum_ref is not None:
+                # Bounce 0: visit the precomputed per-tile frustum chunk
+                # list — no in-kernel AABB tests at all (the list is
+                # conservative, so results are bit-identical).
+                def listed_sweep(carry0):
+                    # rows are blocked 8 tiles at a time (Mosaic requires
+                    # >=8-row SMEM blocks); the caller passes t % 8
+                    trow = frustum_row
+
+                    def lbody(j, c2):
+                        c = frustum_ref[trow, 1 + j]
+                        c2 = sweep_span_tree(c * chunk_size, chunk_size, c2)
+                        return _inc(c2, -2) if stats else c2
+
+                    return jax.lax.fori_loop(
+                        0, frustum_ref[trow, 0], lbody, carry0)
+
+                res = jax.lax.cond(i == 0, listed_sweep, full_sweep, init)
+            else:
+                res = full_sweep(init)
         elif n_spheres <= 64:
             res = sweep_span_tree(jnp.int32(0), n_spheres, init)
         else:
@@ -654,9 +783,9 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
 
     def kernel(meta_ref, cam_ref, sky_ref, *refs):
         scene = refs[0:n_attr]
-        bounds = refs[n_attr:n_attr + 6]
-        supers = refs[n_attr + 6:n_attr + 12]
-        rest = refs[n_attr + 12:]
+        bounds = refs[n_attr:n_attr + 7]
+        supers = refs[n_attr + 7:n_attr + 13]
+        rest = refs[n_attr + 13:]
         if textures:
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
@@ -963,6 +1092,18 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
     cx_, cy_, cz_, rad_ = s_attrs[0], s_attrs[1], s_attrs[2], s_attrs[3]
     kq = cx_ * cx_ + cy_ * cy_ + cz_ * cz_ - rad_ * rad_
     s_attrs = s_attrs + (kq,)
+    if n_chunks > 0:
+        # Prior spheres: the N_PRIORS largest (|radius| — hollow-glass
+        # shells have negative radii) are swept BEFORE the chunk loop to
+        # seed best-t, so the `tnear < best_t` term of the cull test bites
+        # even for omnidirectional post-bounce tiles (e.g. the radius-500
+        # ground sphere bounds every downward ray almost immediately).
+        # Duplicate tests are harmless: the chunk sweep re-tests them with
+        # identical ts and the strict-< merge keeps the same winner.
+        _, prior_idx = jax.lax.top_k(jnp.abs(rad_), N_PRIORS)
+        chunk_arrays = chunk_arrays + (prior_idx.astype(jnp.int32),)
+    else:
+        chunk_arrays = chunk_arrays + (jnp.zeros((N_PRIORS,), jnp.int32),)
     return (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks,
             n_super, tex_pool)
 
@@ -1068,12 +1209,12 @@ def render_image_pallas(
     if textures:
         pool_inputs = [tex_pool]
         pool_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-    n_in = 3 + len(s_attrs) + 12 + len(pool_inputs)
+    n_in = 3 + len(s_attrs) + 13 + len(pool_inputs)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=([smem(), smem(), smem()] + [smem()] * len(s_attrs)
-                  + [smem()] * 12 + pool_specs + [
+                  + [smem()] * 13 + pool_specs + [
             pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]),

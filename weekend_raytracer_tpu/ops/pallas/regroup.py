@@ -98,24 +98,36 @@ def _sample_seed(pix_u32, frame_hash, smp):
 
 def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
              super_factor, n_super, tiles_x, block_w, spp_shift,
-             textures=False):
+             textures=False, frustum=False, full_height=None):
     """Camera + bounces [0, b1); dumps the pool (per-lane homes) and the
-    contribution image (final radiance for terminated paths, else 0)."""
+    contribution image (final radiance for terminated paths, else 0).
+
+    RNG seeds and camera aiming use GLOBAL image coordinates (meta[1] is
+    the shard's row offset; full_height the whole image's height) so
+    per-shard renders under shard_map reproduce the single-device image
+    row band for row band — same contract as the megakernel."""
     f32 = jnp.float32
+    if full_height is None:
+        full_height = height
     n_attr = 19 if textures else 13
 
     def kernel(meta_ref, cam_ref, sky_ref, *refs):
         scene = refs[0:n_attr]
-        bounds = refs[n_attr:n_attr + 6]
-        supers = refs[n_attr + 6:n_attr + 12]
-        rest = refs[n_attr + 12:]
+        bounds = refs[n_attr:n_attr + 7]
+        supers = refs[n_attr + 7:n_attr + 13]
+        rest = refs[n_attr + 13:]
         if textures:
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
             tex_pool_ref = None
+        if frustum:
+            frustum_ref, rest = rest[0], rest[1:]
+        else:
+            frustum_ref = None
         pool_ref, contrib_ref = rest[0], rest[1]
         t = pl.program_id(0)
         frame = meta_ref[0]
+        row_off = meta_ref[1]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
@@ -127,8 +139,10 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
         # padded slots and are cropped by the caller)
         x = jnp.minimum(x, width - 1)
         y = jnp.minimum(y, height - 1)
+        y_gu = jax.lax.bitcast_convert_type(y, jnp.uint32) + row_off
+        y_g = jax.lax.bitcast_convert_type(y_gu, jnp.int32)
         smp = cols & ((1 << spp_shift) - 1)
-        pix = y * width + x
+        pix = y_g * width + x
         pix_u32 = jax.lax.bitcast_convert_type(pix, jnp.uint32)
         state = _sample_seed(pix_u32, _jenkins(frame), smp)
 
@@ -136,11 +150,12 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             scene, bounds, supers, sky_ref,
             num_bounces=b1, chunk_size=chunk_size, n_chunks=n_chunks,
             super_factor=super_factor, n_super=n_super, n_spheres=n_spheres,
-            tex_pool_ref=tex_pool_ref,
+            tex_pool_ref=tex_pool_ref, frustum_ref=frustum_ref,
+            frustum_row=t % 8,
         )
         state, ox, oy, oz, dx, dy, dz = _camera_ray(
-            cam_ref, x.astype(f32), y.astype(f32),
-            f32(1.0 / width), f32(1.0 / height), state)
+            cam_ref, x.astype(f32), y_g.astype(f32),
+            f32(1.0 / width), f32(1.0 / full_height), state)
 
         one = jnp.ones((32, 128), f32)
         zero = jnp.zeros((32, 128), f32)
@@ -359,7 +374,9 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
 
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
              width, height, spp, tiles_x, block_w, spp_shift,
-             textures=False, stats=False):
+             textures=False, stats=False, tsub1=32):
+    # frame_ref is [frame, row_offset] u32: home slots are shard-local,
+    # but RNG seeds derive from GLOBAL pixel ids (see _make_k0).
     """Resume bounces [b_lo, b_hi) over the dense pool (1:1 rows).
 
     RNG state is re-derived from each record's home slot: the stream
@@ -371,9 +388,9 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
 
     def kernel(meta_ref, frame_ref, count_ref, sky_ref, *refs):
         scene = refs[0:n_attr]
-        bounds = refs[n_attr:n_attr + 6]
-        supers = refs[n_attr + 6:n_attr + 12]
-        rest = refs[n_attr + 12:]
+        bounds = refs[n_attr:n_attr + 7]
+        supers = refs[n_attr + 7:n_attr + 13]
+        rest = refs[n_attr + 13:]
         if textures:
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
@@ -385,68 +402,97 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
         b_lo = meta_ref[0]
         b_hi = meta_ref[1]
         frame = frame_ref[0]  # u32 (separate ref: Mosaic has no scalar bitcast)
+        row_off = frame_ref[1]
 
         @pl.when(t * 32 < count)
         def _():
             blk = cpool_ref[0]
-            ox, oy, oz = blk[_OX], blk[_OY], blk[_OZ]
-            dx, dy, dz = blk[_DX], blk[_DY], blk[_DZ]
-            tr, tg, tb = blk[_TR], blk[_TG], blk[_TB]
-            cr, cg, cb = blk[_CR], blk[_CG], blk[_CB]
-            hlo = blk[_HLO]
-            hhi = blk[_HHI]
-            alive_f = blk[_AL]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
-            alive_f = jnp.where((t * 32 + rows) < count, alive_f, 0.0)
-
-            # home slot -> (pixel, sample) -> RNG state at bounce b_lo
-            slot = hhi.astype(jnp.int32) * _HOME_RADIX + hlo.astype(jnp.int32)
-            srow = slot >> 7
-            col = slot & 127
-            tt = srow >> 5
-            row = srow & 31
-            x = (tt % tiles_x) * block_w + (col >> spp_shift)
-            y = (tt // tiles_x) * 32 + row
-            x = jnp.minimum(jnp.maximum(x, 0), width - 1)
-            y = jnp.minimum(jnp.maximum(y, 0), height - 1)
-            smp = col & (spp - 1)
-            pix = y * width + x
-            pix_u32 = jax.lax.bitcast_convert_type(pix, jnp.uint32)
-            state = _sample_seed(pix_u32, _jenkins(frame), smp)
-            state = jax.lax.fori_loop(
-                0, 4 * (b_lo + 1), lambda i, s: _rng_next(s), state)
-
             bounce_cond, bounce_body = _make_bounce(
                 scene, bounds, supers, sky_ref,
                 num_bounces=b_hi, chunk_size=chunk_size, n_chunks=n_chunks,
                 super_factor=super_factor, n_super=n_super,
                 n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
             )
-            carry = (b_lo, ox, oy, oz, dx, dy, dz,
-                     tr, tg, tb, cr, cg, cb, alive_f, state)
-            if stats:
-                carry = carry + (jnp.float32(0.0), jnp.int32(0),
-                                 jnp.int32(0))
-            carry = jax.lax.while_loop(bounce_cond, bounce_body, carry)
-            (it_end, ox, oy, oz, dx, dy, dz,
-             tr, tg, tb, cr, cg, cb, alive_f, _state) = carry[:15]
-            if stats:
-                rows_st = [(it_end - b_lo).astype(f32), carry[15],
-                           carry[16].astype(f32), carry[17].astype(f32)]
-                stats_ref[0] = jnp.concatenate(
-                    [jnp.full((1, 128), v, f32) for v in rows_st]
-                    + [jnp.zeros((4, 128), f32)], axis=0)
 
-            out = pool_out_ref
-            for comp, val in ((_OX, ox), (_OY, oy), (_OZ, oz),
-                              (_DX, dx), (_DY, dy), (_DZ, dz),
-                              (_TR, tr), (_TG, tg), (_TB, tb),
-                              (_CR, cr), (_CG, cg), (_CB, cb)):
-                out[0, comp] = val
-            out[0, _HLO] = hlo
-            out[0, _HHI] = hhi
-            out[0, _AL] = alive_f
-            out[0, _SPARE] = blk[_SPARE]
+            # The tile is processed in independent (tsub1, 128) sub-blocks,
+            # each with its own bounce loop and cull decisions: pool rows
+            # are home-sorted, so a sub-block spans a ~32/tsub1-times
+            # smaller world region than the whole tile and its chunk-cull
+            # union is correspondingly tighter (decisive on big scenes;
+            # docs/PERF.md). tsub1=32 is the original single-loop layout.
+            for sub in range(32 // tsub1):
+                r0 = sub * tsub1
+
+                @pl.when((t * 32 + r0) < count)
+                def _(r0=r0):
+                    ox, oy, oz = (blk[_OX, r0:r0 + tsub1],
+                                  blk[_OY, r0:r0 + tsub1],
+                                  blk[_OZ, r0:r0 + tsub1])
+                    dx, dy, dz = (blk[_DX, r0:r0 + tsub1],
+                                  blk[_DY, r0:r0 + tsub1],
+                                  blk[_DZ, r0:r0 + tsub1])
+                    tr, tg, tb = (blk[_TR, r0:r0 + tsub1],
+                                  blk[_TG, r0:r0 + tsub1],
+                                  blk[_TB, r0:r0 + tsub1])
+                    cr, cg, cb = (blk[_CR, r0:r0 + tsub1],
+                                  blk[_CG, r0:r0 + tsub1],
+                                  blk[_CB, r0:r0 + tsub1])
+                    hlo = blk[_HLO, r0:r0 + tsub1]
+                    hhi = blk[_HHI, r0:r0 + tsub1]
+                    alive_f = blk[_AL, r0:r0 + tsub1]
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (tsub1, 128), 0)
+                    alive_f = jnp.where(
+                        (t * 32 + r0 + rows) < count, alive_f, 0.0)
+
+                    # home slot -> (pixel, sample) -> RNG at bounce b_lo
+                    slot = (hhi.astype(jnp.int32) * _HOME_RADIX
+                            + hlo.astype(jnp.int32))
+                    srow = slot >> 7
+                    col = slot & 127
+                    tt = srow >> 5
+                    row = srow & 31
+                    x = (tt % tiles_x) * block_w + (col >> spp_shift)
+                    y = (tt // tiles_x) * 32 + row
+                    x = jnp.minimum(jnp.maximum(x, 0), width - 1)
+                    y = jnp.minimum(jnp.maximum(y, 0), height - 1)
+                    y_gu = jax.lax.bitcast_convert_type(y, jnp.uint32) + row_off
+                    y_g = jax.lax.bitcast_convert_type(y_gu, jnp.int32)
+                    smp = col & (spp - 1)
+                    pix = y_g * width + x
+                    pix_u32 = jax.lax.bitcast_convert_type(pix, jnp.uint32)
+                    state = _sample_seed(pix_u32, _jenkins(frame), smp)
+                    state = jax.lax.fori_loop(
+                        0, 4 * (b_lo + 1), lambda i, s: _rng_next(s), state)
+
+                    carry = (b_lo, ox, oy, oz, dx, dy, dz,
+                             tr, tg, tb, cr, cg, cb, alive_f, state)
+                    if stats:
+                        carry = carry + (jnp.float32(0.0), jnp.int32(0),
+                                         jnp.int32(0))
+                    carry = jax.lax.while_loop(bounce_cond, bounce_body,
+                                               carry)
+                    (it_end, ox, oy, oz, dx, dy, dz,
+                     tr, tg, tb, cr, cg, cb, alive_f, _state) = carry[:15]
+                    if stats:
+                        rows_st = [(it_end - b_lo).astype(f32), carry[15],
+                                   carry[16].astype(f32),
+                                   carry[17].astype(f32)]
+                        stats_ref[0] = jnp.concatenate(
+                            [jnp.full((1, 128), v, f32) for v in rows_st]
+                            + [jnp.zeros((4, 128), f32)], axis=0)
+
+                    out = pool_out_ref
+                    for comp, val in ((_OX, ox), (_OY, oy), (_OZ, oz),
+                                      (_DX, dx), (_DY, dy), (_DZ, dz),
+                                      (_TR, tr), (_TG, tg), (_TB, tb),
+                                      (_CR, cr), (_CG, cg), (_CB, cb)):
+                        out[0, comp, r0:r0 + tsub1] = val
+                    out[0, _HLO, r0:r0 + tsub1] = hlo
+                    out[0, _HHI, r0:r0 + tsub1] = hhi
+                    out[0, _AL, r0:r0 + tsub1] = alive_f
+                    out[0, _SPARE, r0:r0 + tsub1] = blk[_SPARE,
+                                                        r0:r0 + tsub1]
 
     return kernel
 
@@ -623,8 +669,8 @@ def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
-                     "super_factor", "cuts", "k1_chunk_size", "interpret",
-                     "debug_counts"),
+                     "super_factor", "cuts", "k1_chunk_size", "k1_tsub",
+                     "full_height", "interpret", "debug_counts"),
 )
 def render_image_regrouped(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -642,6 +688,9 @@ def render_image_regrouped(
     super_factor: int = 8,
     cuts: tuple = (2,),
     k1_chunk_size: int | None = None,
+    k1_tsub: int = 32,
+    row_offset: jnp.ndarray | int = 0,
+    full_height: int | None = None,
     interpret: bool | None = None,
     debug_counts: bool = False,
 ) -> jnp.ndarray:
@@ -652,12 +701,15 @@ def render_image_regrouped(
     (at least one required — with no cuts use the megakernel/wavefront).
 
     k1_chunk_size sets a separate cull-chunk granularity for the resume
-    phases: post-cut rays are omnidirectional, so tile-granularity culling
-    saturates (~0.88 chunk entry measured on RTiOW) and fatter chunks win
-    by shedding per-chunk cond + AABB-test overhead; pre-cut camera rays
-    are coherent and want tight chunks. Default: 4x the K0 chunk size."""
+    phases (post-cut rays are omnidirectional, so tile-granularity culling
+    saturates — ~0.88 chunk entry measured on RTiOW — and the overhead/
+    precision trade-off shifts). Measured on RTiOW-1080p: 64/128/unculled
+    all within -1..-4% of matching K0's 32, so the default stays the K0
+    chunk size; the knob remains for scenes where it pays."""
     if interpret is None:
         interpret = _is_cpu()
+    if full_height is None:
+        full_height = height
     if chunk_size is None:
         from .megakernel import default_chunk_size
 
@@ -684,7 +736,7 @@ def render_image_regrouped(
         scene, basis, chunk_size, super_factor)
     textures = tex_pool is not None
     if k1_chunk_size is None:
-        k1_chunk_size = 4 * chunk_size if n_chunks > 0 else chunk_size
+        k1_chunk_size = chunk_size
     if k1_chunk_size != chunk_size:
         # separate cull granularity for the omnidirectional resume phases;
         # sphere padding/order is self-consistent within each array set
@@ -698,7 +750,7 @@ def render_image_regrouped(
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    scene_specs = [smem()] * len(s_attrs) + [smem()] * 12
+    scene_specs = [smem()] * len(s_attrs) + [smem()] * 13
     pool_inputs, pool_specs = [], []
     if textures:
         pool_inputs = [tex_pool]
@@ -715,19 +767,38 @@ def render_image_regrouped(
     contrib_shape = jax.ShapeDtypeStruct((n_tiles, 3, 32, 128), jnp.float32)
 
     # --- K0 ---
+    frustum = n_chunks > 0
+    fr_inputs, fr_specs = [], []
+    if frustum:
+        from .megakernel import build_frustum_lists
+
+        flist = build_frustum_lists(basis, chunk_arrays[:6], tiles_x,
+                                    hp // 32, block_w, 32, width, height,
+                                    row_offset=row_offset,
+                                    full_height=full_height)
+        pad_t = (-n_tiles) % 8
+        if pad_t:
+            flist = jnp.concatenate(
+                [flist, jnp.zeros((pad_t, flist.shape[1]), jnp.int32)])
+        fr_inputs = [flist]
+        fr_specs = [pl.BlockSpec((8, flist.shape[1]), lambda i: (i // 8, 0),
+                                 memory_space=pltpu.SMEM)]
     k0 = _make_k0(width, height, spp, cuts[0], n_spheres, chunk_size,
                   n_chunks, super_factor, n_super, tiles_x, block_w,
-                  spp_shift, textures=textures)
-    meta0 = jnp.stack([frame.astype(jnp.uint32)])
+                  spp_shift, textures=textures, frustum=frustum,
+                  full_height=full_height)
+    meta0 = jnp.stack([frame.astype(jnp.uint32),
+                       jnp.asarray(row_offset).astype(jnp.uint32)])
     pool, contrib = pl.pallas_call(
         k0,
         grid=(n_tiles,),
-        in_specs=[smem(), smem(), smem()] + scene_specs + pool_specs,
+        in_specs=[smem(), smem(), smem()] + scene_specs + pool_specs
+        + fr_specs,
         out_specs=(pool_blk(), contrib_blk()),
         out_shape=(pool_shape, contrib_shape),
         interpret=interpret,
     )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
-      *pool_inputs)
+      *pool_inputs, *fr_inputs)
 
     count = jnp.asarray([n_rows], jnp.int32)
     counts = []
@@ -769,7 +840,7 @@ def render_image_regrouped(
         if k1 is None:
             k1 = _make_k1(n_spheres, k1_chunk_size, n_chunks1, super_factor,
                           n_super1, width, height, spp, tiles_x, block_w,
-                          spp_shift, textures=textures)
+                          spp_shift, textures=textures, tsub1=k1_tsub)
             pool_inputs1 = [tex_pool1] if textures else []
         meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
         pool = pl.pallas_call(

@@ -80,9 +80,9 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
 
     def kernel(meta_ref, cam_ref, sky_ref, *refs):
         scene = refs[0:n_attr]
-        bounds = refs[n_attr:n_attr + 6]
-        supers = refs[n_attr + 6:n_attr + 12]
-        rest = refs[n_attr + 12:]
+        bounds = refs[n_attr:n_attr + 7]
+        supers = refs[n_attr + 7:n_attr + 13]
+        rest = refs[n_attr + 13:]
         if textures:
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
@@ -230,9 +230,9 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
 
     def kernel(meta_ref, count_ref, sky_ref, *refs):
         scene = refs[0:n_attr]
-        bounds = refs[n_attr:n_attr + 6]
-        supers = refs[n_attr + 6:n_attr + 12]
-        rest = refs[n_attr + 12:]
+        bounds = refs[n_attr:n_attr + 7]
+        supers = refs[n_attr + 7:n_attr + 13]
+        rest = refs[n_attr + 13:]
         if textures:
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
@@ -383,7 +383,7 @@ def render_image_wavefront(
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    scene_specs = [smem()] * len(s_attrs) + [smem()] * 6 + [smem()] * 6
+    scene_specs = [smem()] * len(s_attrs) + [smem()] * 7 + [smem()] * 6
     pool_inputs, pool_specs = [], []
     if textures:
         pool_inputs = [tex_pool]
@@ -472,7 +472,7 @@ def render_image_wavefront(
                 pltpu.SMEM((32,), jnp.int32),
                 pltpu.SemaphoreType.DMA((32,)),
             ],
-            input_output_aliases={3 + len(s_attrs) + 12 + len(pool_inputs)
+            input_output_aliases={3 + len(s_attrs) + 13 + len(pool_inputs)
                                   + 1: 1},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,

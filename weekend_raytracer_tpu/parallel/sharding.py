@@ -111,8 +111,10 @@ def render_image_sharded(
 
     backend="pallas" runs the fused megakernel per shard (each chip owns a
     horizontal band of rows; the kernel seeds RNG and aims the camera in
-    global image coordinates via its row_offset input). Requires
-    solid-material scenes.
+    global image coordinates via its row_offset input); backend="regroup"
+    runs the lane-regrouped wavefront per shard the same way (shard-local
+    ray pools, global RNG/camera coordinates — fastest measured backend).
+    Image textures ride the in-kernel LUT on both fused paths.
     """
     n_tiles = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
@@ -137,7 +139,19 @@ def render_image_sharded(
         spp_idx = jax.lax.axis_index(SPP_AXIS)
         # Decorrelate sample shards: injective (frame, shard) -> seed frame.
         seed_frame = frame * jnp.uint32(n_spp) + spp_idx.astype(jnp.uint32)
-        if backend == "pallas":
+        if backend == "regroup":
+            from ..ops.pallas.regroup import render_image_regrouped
+
+            contrib = render_image_regrouped(
+                jnp.zeros_like(accum_blk), seed_frame, jnp.bool_(True),
+                scene, sky, basis,
+                width=width, height=block_rows, spp=local_spp,
+                num_bounces=num_bounces,
+                cuts=(min(3, num_bounces - 1),),
+                row_offset=(tile_idx * block_rows).astype(jnp.uint32),
+                full_height=aim_height,
+            )
+        elif backend == "pallas":
             from ..ops.pallas.megakernel import render_image_pallas
 
             contrib = render_image_pallas(

@@ -132,19 +132,25 @@ class Renderer:
             # natively and image textures via the in-kernel mipped LUT; the
             # XLA path remains the full-resolution-texture reference.
             # The regrouped wavefront (dense lane-granular ray compaction
-            # at the bounce cut) is the fastest measured; it requires
-            # power-of-two spp, a bounce budget deep enough to cut, and is
-            # not yet plumbed through the row-sharded mesh path.
+            # at the bounce cut) is the fastest measured — single-device
+            # and per shard under a mesh; it needs power-of-two per-shard
+            # spp and a bounce budget deep enough to cut.
             spp = params.sampling.num_samples_per_pixel
             bounces = params.sampling.num_bounces
-            if mesh is None and spp & (spp - 1) == 0:
-                backend = "regroup" if bounces >= 2 else "wavefront"
+            if mesh is not None:
+                from .parallel.sharding import SPP_AXIS
+
+                spp = spp // max(mesh.shape.get(SPP_AXIS, 1), 1)
+            if spp >= 1 and spp & (spp - 1) == 0 and bounces >= 2:
+                backend = "regroup"
+            elif mesh is None and spp & (spp - 1) == 0:
+                backend = "wavefront"
             else:
                 backend = "pallas"
-        if backend in ("wavefront", "regroup") and mesh is not None:
+        if backend == "wavefront" and mesh is not None:
             raise RenderParamsValidationError(
-                f"backend='{backend}' does not support mesh sharding yet; "
-                "use backend='pallas' (or 'auto') with a mesh"
+                "backend='wavefront' does not support mesh sharding yet; "
+                "use backend='regroup', 'pallas', or 'auto' with a mesh"
             )
         self.backend = backend
         self.mesh = mesh
