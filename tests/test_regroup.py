@@ -91,3 +91,38 @@ def test_regroup_rejects_bad_args(rtiow):
     with pytest.raises(ValueError):
         render_image_regrouped(*_args(scene, sky, basis), width=W, height=H,
                                spp=4, num_bounces=8, cuts=())
+
+
+def test_frustum_lists_conservative_extreme_camera():
+    """Bounce-0 frustum chunk lists must be conservative under wide
+    aperture (beam re-expands beyond the focus plane), wide FOV, and
+    geometry behind the camera — any over-culling shows up as a bitwise
+    mismatch vs the listless wavefront."""
+    from weekend_raytracer_tpu.models.camera import Camera
+    from weekend_raytracer_tpu.models.materials import Material
+    from weekend_raytracer_tpu.models.scenes import SceneDesc, Sphere
+
+    rs = np.random.RandomState(3)
+    mats = [Material.lambertian((0.7, 0.4, 0.3)),
+            Material.metal((0.9, 0.9, 0.9), fuzz=0.2)]
+    spheres = [Sphere((0.0, -1000.0, 0.0), 1000.0, 0)]
+    # spheres all around the eye, including behind the camera
+    for i in range(80):
+        p = rs.uniform(-12, 12, size=3)
+        p[1] = abs(p[1]) * 0.3 + 0.2
+        spheres.append(Sphere(tuple(p), float(rs.uniform(0.2, 0.7)), i % 2))
+    desc = SceneDesc(materials=mats, spheres=spheres)
+    scene = desc.build()
+    sky = to_sky_state(SkyParams())
+    cam = Camera.look_at((0.0, 1.5, 6.0), (0.0, 0.5, 0.0),
+                         vfov_degrees=85.0, aperture=1.0,
+                         focus_distance=5.0)
+    W2, H2 = 64, 40
+    basis = CameraBasis.create(cam, (W2, H2))
+    acc = jnp.zeros((W2 * H2, 3), jnp.float32)
+    kw = dict(width=W2, height=H2, spp=2, num_bounces=5)
+    ref = render_image_wavefront(acc, jnp.uint32(1), jnp.bool_(True),
+                                 scene, sky, basis, phase_cuts=(), **kw)
+    out = render_image_regrouped(acc, jnp.uint32(1), jnp.bool_(True),
+                                 scene, sky, basis, cuts=(2,), **kw)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
