@@ -126,3 +126,62 @@ def test_frustum_lists_conservative_extreme_camera():
     out = render_image_regrouped(acc, jnp.uint32(1), jnp.bool_(True),
                                  scene, sky, basis, cuts=(2,), **kw)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_regroup_unculled_k1_matches(rtiow):
+    """k1_chunk_size=0 (unculled resume sweep) uses the k1 array set's own
+    padded sphere count — previously read past s_attrs1 (review r2)."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=2, num_bounces=6)
+    ref = np.asarray(render_image_wavefront(*_args(scene, sky, basis),
+                                            phase_cuts=(), **kw))
+    out = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
+                                            cuts=(2,), k1_chunk_size=0,
+                                            **kw))
+    assert np.array_equal(out, ref)
+
+
+def test_regroup_validation_errors(rtiow):
+    scene, sky, basis = rtiow
+    with pytest.raises(ValueError, match="<= 128"):
+        render_image_regrouped(*_args(scene, sky, basis), width=W, height=H,
+                               spp=256, num_bounces=8, cuts=(2,))
+    with pytest.raises(ValueError, match="k1_tsub"):
+        render_image_regrouped(*_args(scene, sky, basis), width=W, height=H,
+                               spp=4, num_bounces=8, cuts=(2,), k1_tsub=24)
+
+
+def test_frustum_lists_exclude_far_padding():
+    """super_bounds pads chunk arrays with degenerate far-point boxes; the
+    frustum lists must never include them (the listed sweep would read
+    sphere attrs past the array end — review r2). Also checks the reach
+    cut: chunks beyond MAX_T+lens_r are unhittable and dropped."""
+    import jax.numpy as jnp
+
+    from weekend_raytracer_tpu.models.camera import Camera
+    from weekend_raytracer_tpu.ops.pallas.megakernel import (
+        MAX_T,
+        build_frustum_lists,
+    )
+
+    # camera at origin aimed straight at the far corner, huge aperture
+    cam = Camera.look_at((0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+                         vfov_degrees=80.0, aperture=1.0,
+                         focus_distance=5.0)
+    basis = CameraBasis.create(cam, (64, 32))
+    far = 1.0e9
+    bounds = (
+        jnp.asarray([2.0, far, 0.0]),   # lo x: real, pad, beyond-reach
+        jnp.asarray([2.0, far, 0.0]),
+        jnp.asarray([2.0, far, float(2 * MAX_T)]),
+        jnp.asarray([3.0, far, 1.0]),   # hi
+        jnp.asarray([3.0, far, 1.0]),
+        jnp.asarray([3.0, far, float(2 * MAX_T) + 1.0]),
+    )
+    flist = np.asarray(build_frustum_lists(basis, bounds, 2, 1, 32, 32,
+                                           64, 32))
+    for t in range(flist.shape[0]):
+        cnt = flist[t, 0]
+        listed = set(flist[t, 1:1 + cnt].tolist())
+        assert 1 not in listed, "far padding chunk must never be listed"
+        assert 2 not in listed, "beyond-MAX_T chunk must never be listed"

@@ -284,3 +284,24 @@ def test_regroup_backend_matches_wavefront_through_renderer():
                                 num_samples_per_pixel=4, num_bounces=1),
     )
     assert Renderer(desc, shallow, backend="auto").backend == "wavefront"
+
+
+def test_auto_backend_reresolves_on_param_update():
+    """set_render_params must re-run auto backend selection: an update to
+    a non-power-of-two spp (or too-shallow bounces) would otherwise crash
+    the next frame inside the frozen regroup backend (review r2)."""
+    desc = scenes.three_spheres()
+    params = RenderParams(
+        camera=scenes.three_spheres_camera(),
+        viewport_size=(32, 18),
+        sampling=SamplingParams(max_samples_per_pixel=12,
+                                num_samples_per_pixel=4, num_bounces=5),
+    )
+    r = Renderer(desc, params, backend="auto")
+    assert r.backend == "regroup"
+    new = dataclasses.replace(
+        params, sampling=dataclasses.replace(params.sampling,
+                                             num_samples_per_pixel=6))
+    assert r.set_render_params(new)
+    assert r.backend == "pallas"
+    assert r.render_frame()

@@ -35,6 +35,10 @@ def camera_orientation(yaw: Angle, pitch: Angle) -> Orientation:
     forward /= np.linalg.norm(forward)
     world_up = np.array([0.0, 1.0, 0.0])
     right = np.cross(forward, world_up)
+    # |cross(forward, world_up)| = cos(pitch): normalize so translation
+    # speed and the drag-look local basis don't shrink at steep pitch
+    # (Camera.look_at normalizes the identical construction)
+    right /= np.linalg.norm(right)
     up = np.cross(right, forward)
     return Orientation(forward=forward, right=right, up=up)
 
@@ -95,6 +99,11 @@ class FlyCameraController:
             setattr(self, attr, pressed)
 
     def set_mouse(self, pos: Tuple[float, float], look_pressed: bool) -> None:
+        if look_pressed and not self.look_pressed:
+            # new drag: forget the previous drag's release point, or the
+            # first press applies a spurious full-screen look delta
+            # (terminal mouse mode only reports motion while pressed)
+            self.previous_mouse_pos = None
         self.mouse_pos = pos
         self.look_pressed = look_pressed
 

@@ -13,7 +13,7 @@ Keys:
   f/F aperture -+      g/G focus distance -+      v/V vfov -+
   t/T turbidity -+     z/Z sun zenith -+          x/X sun azimuth -+
   1/2/4 spp per frame  b/B bounces -+             r reset accumulation
-  ESC or Ctrl-C quit
+  ESC or Ctrl-C quit (Ctrl-C raises SIGINT in cbreak mode; caught cleanly)
 
 Mouse: drag to look (the reference's RMB spherical-delta look,
 fly_camera.rs:125-173) — any button works; uses xterm SGR mouse reporting,
@@ -24,6 +24,7 @@ Run: python -m weekend_raytracer_tpu.interactive.viewer --scene demo
 from __future__ import annotations
 
 import dataclasses
+import os
 import select
 import sys
 import time
@@ -35,6 +36,37 @@ from ..models.sky import SkyParams
 from ..renderer import Renderer
 from ..utils.metrics import FpsCounter
 from .fly_camera import FlyCameraController
+
+
+class _RawInput:
+    """Unbuffered terminal input: os.read with a private byte buffer.
+
+    select() only sees the kernel fd; Python's TextIOWrapper would drain
+    multi-byte escape sequences into its own buffer on read(1), making the
+    remaining bytes invisible to select and mangling arrows/mouse reports.
+    """
+
+    def __init__(self, fd: int):
+        self.fd = fd
+        self.buf = b""
+        self.eof = False
+
+    def pending(self) -> bool:
+        return bool(self.buf) or bool(select.select([self.fd], [], [], 0)[0])
+
+    def read1(self, timeout: float | None = None) -> str:
+        """One character; '' on timeout (when given) or EOF (sets .eof)."""
+        if not self.buf:
+            if timeout is not None and not select.select(
+                    [self.fd], [], [], timeout)[0]:
+                return ""
+            data = os.read(self.fd, 64)
+            if not data:
+                self.eof = True
+                return ""
+            self.buf = data
+        ch, self.buf = self.buf[:1], self.buf[1:]
+        return ch.decode("latin-1")
 
 
 def _halfblock_frame(img: np.ndarray) -> str:
@@ -104,9 +136,11 @@ class TerminalViewer:
         """Parse an SGR mouse report after ESC [ < : 'b;x;y(M|m)'."""
         buf = ""
         while True:
-            ch = sys.stdin.read(1)
+            ch = self._in.read1(timeout=0.05)
             if ch in "Mm":
                 break
+            if not ch:
+                return True  # truncated; swallow
             buf += ch
             if len(buf) > 16:
                 return True  # malformed; swallow
@@ -170,7 +204,7 @@ class TerminalViewer:
             self.sampling = dataclasses.replace(
                 self.sampling, num_bounces=min(10, max(4, self.sampling.num_bounces + (1 if key == "B" else -1))))
         elif key == "r":
-            self.renderer._progress.reset()
+            self.renderer.reset_accumulation()
         self._apply(sky=self.sky, sampling=self.sampling)
         return True
 
@@ -183,6 +217,7 @@ class TerminalViewer:
         fd = sys.stdin.fileno()
         old = termios.tcgetattr(fd)
         tty.setcbreak(fd)
+        self._in = _RawInput(fd)
         sys.stdout.write("\x1b[2J")  # clear
         # xterm button-event mouse tracking (1002) with SGR encoding (1006)
         sys.stdout.write("\x1b[?1002h\x1b[?1006h")
@@ -194,10 +229,11 @@ class TerminalViewer:
                 img = self.renderer.image()
                 self.fps.update(time.perf_counter() - t0)
                 self.draw(img)
-                while select.select([sys.stdin], [], [], 0)[0]:
-                    if not self.handle_key(self._read_key()):
+                while running and self._in.pending():
+                    if self._in.eof or not self.handle_key(self._read_key()):
                         running = False
-                        break
+        except KeyboardInterrupt:
+            pass  # Ctrl-C sends SIGINT in cbreak mode: quit cleanly
         finally:
             sys.stdout.write("\x1b[?1002l\x1b[?1006l")
             termios.tcsetattr(fd, termios.TCSADRAIN, old)
@@ -209,16 +245,21 @@ class TerminalViewer:
         Arrow keys arrive as ESC [ A/B/C/D — map them to the look keys so
         pressing an arrow doesn't read as a bare ESC (quit). SGR mouse
         reports (ESC [ < b;x;y M/m) are consumed here and fed to
-        handle_mouse, returning '' (no key)."""
-        ch = sys.stdin.read(1)
+        handle_mouse, returning '' (no key). Reads go through _RawInput
+        (os.read + private buffer): mixing select() with Python's buffered
+        stdin would drain whole escape sequences into a buffer select
+        can't see, turning every arrow key into a lone-ESC quit."""
+        ch = self._in.read1()
+        if self._in.eof:
+            return "\x1b"  # EOF: quit instead of busy-spinning
         if ch != "\x1b":
             return ch
-        if not select.select([sys.stdin], [], [], 0.01)[0]:
+        nxt = self._in.read1(timeout=0.01)
+        if nxt == "":
             return ch  # lone ESC: quit
-        seq = sys.stdin.read(1)
-        if seq != "[":
+        if nxt != "[":
             return ""  # unknown sequence: ignore
-        final = sys.stdin.read(1)
+        final = self._in.read1(timeout=0.05)
         if final == "<":
             self._parse_mouse()
             return ""
@@ -256,6 +297,11 @@ def main(argv=None) -> int:  # pragma: no cover - interactive
     p.add_argument("--backend", default="auto")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.size.split("x"))
+    if args.scene not in scene_lib.SCENES:
+        known = ", ".join(sorted(scene_lib.SCENES))
+        print(f"unknown scene {args.scene!r}; choose one of: {known}",
+              file=sys.stderr)
+        return 2
     build, _cam = scene_lib.SCENES[args.scene]
     desc = build()
     scene = desc.build()

@@ -154,9 +154,13 @@ class SkyState:
 
 def _perez_hw_form(cos_theta: float, gamma: float, a, b, c, d, e) -> float:
     """Host-side evaluation of the HW-form distribution with the Preetham
-    mapping (p2=1, p6=p7=0); used to normalize the zenith radiance scale."""
+    mapping (p2=1, p6=p7=0); used to normalize the zenith radiance scale.
+
+    The quadratic term is e*cos^2(GAMMA) — matching the device evaluator
+    (ops/sky_radiance.py) and the vectorized _perez below; it was briefly
+    e*cos^2(theta), dimming the scipy-less fallback sky ~8% off-zenith."""
     return (1.0 + a * math.exp(b / (cos_theta + 0.01))) * (
-        1.0 + c * math.exp(d * gamma) + e * cos_theta * cos_theta
+        1.0 + c * math.exp(d * gamma) + e * math.cos(gamma) ** 2
     )
 
 
@@ -362,8 +366,17 @@ def _fit_channels(t: float, ts: float):
             th_list.append(th)
             ga_list.append(g_lo + frac * (g_hi - g_lo))
     for g in (0.02, 0.05, 0.1, 0.2, 0.35):
-        th_list.append(min(ts + 0.5 * g, 1.53))
+        # circumsolar: theta must make gamma reachable (|th-ts| <= g <=
+        # th+ts); at sun zenith ts=0 that forces th == g exactly
+        lo = abs(g - ts) + 1e-4
+        hi = max(min(g + ts, 1.53) - 1e-4, lo)
+        th_list.append(min(max(ts + 0.5 * g, lo), hi))
         ga_list.append(g)
+    if len(th_list) < 24:
+        # overhead-sun corner: the reachable manifold collapses and a
+        # 9-parameter fit would be wildly underdetermined — use the
+        # shared-distribution fallback instead
+        return None
     theta = np.asarray(th_list)
     gamma = np.asarray(ga_list)
     cos_theta = np.clip(np.cos(theta), 1e-3, 1.0)

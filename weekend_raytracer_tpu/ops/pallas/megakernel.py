@@ -264,7 +264,20 @@ def build_frustum_lists(basis: CameraBasis, chunk_bounds, tiles_x: int,
     dmax = jnp.max(jnp.linalg.norm(corners, axis=-1), axis=-1)  # [NCP]
     slack = lens_r * (1.0 + dmax[None, :] / focus[:, None])  # [T, NCP]
 
-    keep = jnp.ones((tiles_x * tiles_y, ncp), bool)
+    # Reach test: no ray registers a hit beyond MAX_T (best-t starts
+    # there), and origins stay within lens_r of the eye — chunks whose
+    # AABB is entirely farther are unhittable. This also excludes
+    # super_bounds' degenerate far-point padding chunks (lo == hi == 1e9),
+    # which the plane tests alone can keep when the camera faces them
+    # (their slack grows with distance) — keeping one would make the
+    # bounce-0 listed sweep read sphere attrs past the array end.
+    lo_box = jnp.stack([clox, cloy, cloz], axis=-1)  # [NCP, 3]
+    hi_box = jnp.stack([chix, chiy, chiz], axis=-1)
+    nearest = jnp.clip(eye[None, :], lo_box, hi_box)
+    dmin = jnp.linalg.norm(nearest - eye[None, :], axis=-1)
+    reach = (dmin <= MAX_T + lens_r)[None, :]
+
+    keep = jnp.broadcast_to(reach, (tiles_x * tiles_y, ncp)).copy()
     for p in planes:
         # farthest corner along the inward normal: outside if even it
         # is beyond the relaxed plane
@@ -827,16 +840,6 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
         )
 
-        # camera basis scalars
-        ex, ey, ez = cam_ref[0], cam_ref[1], cam_ref[2]
-        hx, hy, hz = cam_ref[3], cam_ref[4], cam_ref[5]
-        vx, vy, vz = cam_ref[6], cam_ref[7], cam_ref[8]
-        ux, uy, uz = cam_ref[9], cam_ref[10], cam_ref[11]
-        wx, wy, wz = cam_ref[12], cam_ref[13], cam_ref[14]
-        lx, ly, lz = cam_ref[15], cam_ref[16], cam_ref[17]
-        lens_r = cam_ref[18]
-        sunx, suny, sunz = sky_ref[30], sky_ref[31], sky_ref[32]
-
         inv_w = f32(1.0 / width)
         inv_h = f32(1.0 / full_height)  # camera aims in full-image space
 
@@ -859,26 +862,8 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             mix = jnp.uint32((0x9E3779B9 * (s + 1)) & 0xFFFFFFFF)
             state = _jenkins(pix_u32 ^ frame_hash ^ mix)
             # Jittered screen sample + thin-lens ray (wgsl:105-122, 456-478)
-            state, ju = _rng_float(state)
-            state, jv = _rng_float(state)
-            state, dr = _rng_float(state)
-            state, da = _rng_float(state)
-            su = (xf + ju) * inv_w
-            sv = 1.0 - (yf + jv) * inv_h
-            lr = jnp.sqrt(dr)
-            la = TWO_PI * da
-            lens_x = lens_r * lr * jnp.cos(la)
-            lens_y = lens_r * lr * jnp.sin(la)
-            ox = ex + lens_x * ux + lens_y * wx
-            oy = ey + lens_x * uy + lens_y * wy
-            oz = ez + lens_x * uz + lens_y * wz
-            dx = lx + su * hx + sv * vx - ox
-            dy = ly + su * hy + sv * vy - oy
-            dz = lz + su * hz + sv * vz - oz
-            inv_len = jax.lax.rsqrt(
-                jnp.maximum(1.0e-24, _dot3(dx, dy, dz, dx, dy, dz))
-            )
-            dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+            state, ox, oy, oz, dx, dy, dz = _camera_ray(
+                cam_ref, xf, yf, inv_w, inv_h, state)
 
             one = jnp.ones((tsub, 128), f32)
             zero = jnp.zeros((tsub, 128), f32)

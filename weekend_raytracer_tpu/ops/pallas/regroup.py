@@ -288,19 +288,20 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
         base = counter_smem[0]
         fill0 = fill_smem[0]
 
-        # Inverse map: record at (row j, rank r) lands at global dense
-        # index G_j + r where G_j = records packed before row j.
-        k_bcast = jnp.broadcast_to(k_vec, (32, 128))
-        row_base = _cumsum_rows(k_bcast) - k_bcast
-        g_idx = base * 128 + fill0 + row_base.astype(jnp.int32)
-        d_idx = g_idx + c.astype(jnp.int32) - 1
-        alive_b = alive > 0.5
-        inv_ref[0, _INV_ROW] = jnp.where(
-            alive_b, (d_idx >> 7).astype(f32), _DEAD_ROW)
-        inv_ref[0, _INV_LANE] = jnp.where(
-            alive_b, (d_idx & 127).astype(f32), 0.0)
-        inv_ref[0, _INV_FIRST] = (g_idx >> 7).astype(f32)
-        inv_ref[0, 3] = jnp.zeros((32, 128), f32)
+        if inv_ref is not None:
+            # Inverse map: record at (row j, rank r) lands at global dense
+            # index G_j + r where G_j = records packed before row j.
+            k_bcast = jnp.broadcast_to(k_vec, (32, 128))
+            row_base = _cumsum_rows(k_bcast) - k_bcast
+            g_idx = base * 128 + fill0 + row_base.astype(jnp.int32)
+            d_idx = g_idx + c.astype(jnp.int32) - 1
+            alive_b = alive > 0.5
+            inv_ref[0, _INV_ROW] = jnp.where(
+                alive_b, (d_idx >> 7).astype(f32), _DEAD_ROW)
+            inv_ref[0, _INV_LANE] = jnp.where(
+                alive_b, (d_idx & 127).astype(f32), 0.0)
+            inv_ref[0, _INV_FIRST] = (g_idx >> 7).astype(f32)
+            inv_ref[0, 3] = jnp.zeros((32, 128), f32)
 
         acc = acc_vmem[:]
         fill = fill0
@@ -370,6 +371,16 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
         counter_smem[0] = base + 1
 
     count_out_ref[0] = counter_smem[0]
+
+
+def _pack_kernel_no_inv(count_in_ref, pool_ref, cpool_hbm, count_out_ref,
+                        *scratch):
+    """Pack without the inverse-map output: later phases' unpacks are
+    home-search based (their inverse maps would be in previous-pool
+    coordinates), so emitting one would only burn VMEM work and an
+    (n_tiles, 4, 32, 128) HBM buffer per phase."""
+    return _pack_kernel(count_in_ref, pool_ref, cpool_hbm, None,
+                        count_out_ref, *scratch)
 
 
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
@@ -714,8 +725,12 @@ def render_image_regrouped(
         from .megakernel import default_chunk_size
 
         chunk_size = default_chunk_size(int(scene.spheres.centers.shape[0]))
-    if spp & (spp - 1):
-        raise ValueError(f"regroup spp must be a power of two, got {spp}")
+    if spp & (spp - 1) or not 1 <= spp <= 128:
+        raise ValueError(
+            f"regroup spp must be a power of two <= 128 (samples fold "
+            f"into the 128-lane dim), got {spp}")
+    if 32 % k1_tsub:
+        raise ValueError(f"k1_tsub must divide 32, got {k1_tsub}")
     cuts = tuple(c for c in cuts if 0 < c < num_bounces)
     if not cuts:
         raise ValueError("regrouped wavefront needs at least one cut")
@@ -741,12 +756,12 @@ def render_image_regrouped(
         # separate cull granularity for the omnidirectional resume phases;
         # sphere padding/order is self-consistent within each array set
         (s_attrs1, chunk_arrays1, super_arrays1,
-         _n_sph1, n_chunks1, n_super1, tex_pool1) = prepare_scene_arrays(
+         n_sph1, n_chunks1, n_super1, tex_pool1) = prepare_scene_arrays(
             scene, basis, k1_chunk_size, super_factor)
     else:
-        (s_attrs1, chunk_arrays1, super_arrays1, n_chunks1, n_super1,
-         tex_pool1) = (s_attrs, chunk_arrays, super_arrays, n_chunks,
-                       n_super, tex_pool)
+        (s_attrs1, chunk_arrays1, super_arrays1, n_sph1, n_chunks1,
+         n_super1, tex_pool1) = (s_attrs, chunk_arrays, super_arrays,
+                                 n_spheres, n_chunks, n_super, tex_pool)
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -810,16 +825,23 @@ def render_image_regrouped(
     inv_shape = jax.ShapeDtypeStruct((n_tiles, N_INV, 32, 128), jnp.float32)
     k1 = None
     for pi, b_lo in enumerate(cuts):
-        # --- PACK: dense lane-granular compaction ---
-        cpool, inv, count = pl.pallas_call(
-            _pack_kernel,
+        # --- PACK: dense lane-granular compaction. Only the first phase
+        # emits the inverse map (its unpack gathers through it; later
+        # pools stay home-sorted for the search-based unpack). ---
+        want_inv = pi == 0
+        pack_out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        pack_out_shape = [pool_shape]
+        if want_inv:
+            pack_out_specs.append(inv_blk())
+            pack_out_shape.append(inv_shape)
+        pack_out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        pack_out_shape.append(jax.ShapeDtypeStruct((1,), jnp.int32))
+        packed = pl.pallas_call(
+            _pack_kernel if want_inv else _pack_kernel_no_inv,
             grid=(n_tiles,),
             in_specs=[smem(), pool_blk()],
-            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                       inv_blk(),
-                       pl.BlockSpec(memory_space=pltpu.SMEM)),
-            out_shape=(pool_shape, inv_shape,
-                       jax.ShapeDtypeStruct((1,), jnp.int32)),
+            out_specs=tuple(pack_out_specs),
+            out_shape=tuple(pack_out_shape),
             scratch_shapes=[
                 pltpu.VMEM((N_COMP, 32, 128), jnp.float32),  # pscratch
                 pltpu.VMEM((32, 128), jnp.float32),          # counts
@@ -832,13 +854,17 @@ def render_image_regrouped(
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(count, pool)
+        if want_inv:
+            cpool, inv, count = packed
+            invs.append(inv)
+        else:
+            cpool, count = packed
         counts.append(count)
-        invs.append(inv)
 
         # --- K1: resume bounces on dense tiles ---
         b_hi = cuts[pi + 1] if pi + 1 < len(cuts) else num_bounces
         if k1 is None:
-            k1 = _make_k1(n_spheres, k1_chunk_size, n_chunks1, super_factor,
+            k1 = _make_k1(n_sph1, k1_chunk_size, n_chunks1, super_factor,
                           n_super1, width, height, spp, tiles_x, block_w,
                           spp_shift, textures=textures, tsub1=k1_tsub)
             pool_inputs1 = [tex_pool1] if textures else []

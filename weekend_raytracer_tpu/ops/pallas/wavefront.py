@@ -46,12 +46,10 @@ from ...models.camera import CameraBasis
 from ...models.sky import SkyState
 from ..tracer import Scene
 from .megakernel import (
-    TWO_PI,
-    _dot3,
+    _camera_ray,
     _is_cpu,
     _jenkins,
     _make_bounce,
-    _rng_float,
     pack_camera,
     pack_sky,
     prepare_scene_arrays,
@@ -120,36 +118,8 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
         )
 
         # thin-lens camera ray (wgsl:105-122, 456-478)
-        ex, ey, ez = cam_ref[0], cam_ref[1], cam_ref[2]
-        hx, hy, hz = cam_ref[3], cam_ref[4], cam_ref[5]
-        vx, vy, vz = cam_ref[6], cam_ref[7], cam_ref[8]
-        ux, uy, uz = cam_ref[9], cam_ref[10], cam_ref[11]
-        wx, wy, wz = cam_ref[12], cam_ref[13], cam_ref[14]
-        lx, ly, lz = cam_ref[15], cam_ref[16], cam_ref[17]
-        lens_r = cam_ref[18]
-        inv_w = f32(1.0 / width)
-        inv_h = f32(1.0 / height)
-
-        state, ju = _rng_float(state)
-        state, jv = _rng_float(state)
-        state, dr = _rng_float(state)
-        state, da = _rng_float(state)
-        su = (xf + ju) * inv_w
-        sv = 1.0 - (yf + jv) * inv_h
-        lr = jnp.sqrt(dr)
-        la = TWO_PI * da
-        lens_x = lens_r * lr * jnp.cos(la)
-        lens_y = lens_r * lr * jnp.sin(la)
-        ox = ex + lens_x * ux + lens_y * wx
-        oy = ey + lens_x * uy + lens_y * wy
-        oz = ez + lens_x * uz + lens_y * wz
-        dx = lx + su * hx + sv * vx - ox
-        dy = ly + su * hy + sv * vy - oy
-        dz = lz + su * hz + sv * vz - oz
-        inv_len = jax.lax.rsqrt(
-            jnp.maximum(1.0e-24, _dot3(dx, dy, dz, dx, dy, dz))
-        )
-        dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+        state, ox, oy, oz, dx, dy, dz = _camera_ray(
+            cam_ref, xf, yf, f32(1.0 / width), f32(1.0 / height), state)
 
         one = jnp.ones((32, 128), f32)
         zero = jnp.zeros((32, 128), f32)
@@ -361,8 +331,10 @@ def render_image_wavefront(
         from .megakernel import default_chunk_size
 
         chunk_size = default_chunk_size(int(scene.spheres.centers.shape[0]))
-    if spp & (spp - 1):
-        raise ValueError(f"wavefront spp must be a power of two, got {spp}")
+    if spp & (spp - 1) or not 1 <= spp <= 128:
+        raise ValueError(
+            f"wavefront spp must be a power of two <= 128 (samples fold "
+            f"into the 128-lane dim), got {spp}")
     spp_shift = spp.bit_length() - 1
     block_w = 128 >> spp_shift  # x-pixels per tile row (cols = x * spp + s)
     block_h = 32

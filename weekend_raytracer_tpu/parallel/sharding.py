@@ -162,11 +162,16 @@ def render_image_sharded(
                 row_offset=(tile_idx * block_rows).astype(jnp.uint32),
                 full_height=aim_height,
             )
-        else:
+        elif backend == "xla":
             pixel_idx = tile_idx * block + jnp.arange(block, dtype=jnp.int32)
             contrib = render_pixels(
                 pixel_idx, seed_frame, scene, sky, basis, width, aim_height,
                 local_spp, num_bounces, sphere_chunk,
+            )
+        else:
+            raise RenderParamsValidationError(
+                f"render_image_sharded backend must be 'xla', 'pallas', "
+                f"or 'regroup', got {backend!r}"
             )
         contrib = jax.lax.psum(contrib, SPP_AXIS)
         base = jnp.where(clear, jnp.zeros_like(accum_blk), accum_blk)

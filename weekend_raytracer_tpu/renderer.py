@@ -127,6 +127,28 @@ class Renderer:
         else:
             self._scene_desc = None
             self._scene = scene
+        self._backend_request = backend
+        self.mesh = mesh
+        self.backend = self._resolve_backend(params)
+        self._params = params
+        self._progress = RenderProgress()
+        self._frame_number = 0
+        self._derive_device_state()
+        self._alloc_accumulator()
+        self._step_cache = {}
+
+    def _resolve_backend(self, params: RenderParams) -> str:
+        """Resolve the requested backend against the given params (re-run
+        on every set_render_params: 'auto' depends on spp/bounces, and
+        mesh constraints must hold for the NEW params, not the ones the
+        renderer was constructed with)."""
+        backend = self._backend_request
+        mesh = self.mesh
+        if mesh is not None:
+            from .parallel.sharding import validate_mesh_config
+
+            validate_mesh_config(mesh, params.viewport_size,
+                                 params.sampling.num_samples_per_pixel)
         if backend == "auto":
             # Fused Pallas kernels handle solid/procedural materials
             # natively and image textures via the in-kernel mipped LUT; the
@@ -134,16 +156,17 @@ class Renderer:
             # The regrouped wavefront (dense lane-granular ray compaction
             # at the bounce cut) is the fastest measured — single-device
             # and per shard under a mesh; it needs power-of-two per-shard
-            # spp and a bounce budget deep enough to cut.
+            # spp <= 128 (lane folding) and bounces deep enough to cut.
             spp = params.sampling.num_samples_per_pixel
             bounces = params.sampling.num_bounces
             if mesh is not None:
                 from .parallel.sharding import SPP_AXIS
 
                 spp = spp // max(mesh.shape.get(SPP_AXIS, 1), 1)
-            if spp >= 1 and spp & (spp - 1) == 0 and bounces >= 2:
+            pow2 = spp >= 1 and spp & (spp - 1) == 0
+            if pow2 and spp <= 128 and bounces >= 2:
                 backend = "regroup"
-            elif mesh is None and spp & (spp - 1) == 0:
+            elif mesh is None and pow2 and spp <= 128:
                 backend = "wavefront"
             else:
                 backend = "pallas"
@@ -152,19 +175,7 @@ class Renderer:
                 "backend='wavefront' does not support mesh sharding yet; "
                 "use backend='regroup', 'pallas', or 'auto' with a mesh"
             )
-        self.backend = backend
-        self.mesh = mesh
-        if mesh is not None:
-            from .parallel.sharding import validate_mesh_config
-
-            validate_mesh_config(mesh, params.viewport_size,
-                                 params.sampling.num_samples_per_pixel)
-        self._params = params
-        self._progress = RenderProgress()
-        self._frame_number = 0
-        self._derive_device_state()
-        self._alloc_accumulator()
-        self._step_cache = {}
+        return backend
 
     # -- state derivation ---------------------------------------------------
 
@@ -206,7 +217,13 @@ class Renderer:
         if params == self._params:
             return False
         params.validate()
+        # re-resolve BEFORE mutating state: an 'auto' renderer may need a
+        # different backend for the new spp/bounces, and mesh constraints
+        # must be validated against the new params (raises, leaving the
+        # renderer untouched, on an incompatible combination)
+        backend = self._resolve_backend(params)
         resize = params.viewport_size != self._params.viewport_size
+        self.backend = backend
         self._params = params
         self._derive_device_state()
         if resize:
@@ -297,6 +314,12 @@ class Renderer:
         )
         self._frame_number += 1
         return True
+
+    def reset_accumulation(self) -> None:
+        """Restart progressive accumulation without changing parameters
+        (the next frame renders with the clear flag set, so the stale
+        accumulator contents never blend in)."""
+        self._progress.reset()
 
     def sync(self) -> None:
         """Drain queued device work. A tiny readback is used in addition to

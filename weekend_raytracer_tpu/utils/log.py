@@ -51,5 +51,10 @@ def get_logger(name: str | None = None) -> logging.Logger:
 
 
 def log_event(logger: logging.Logger, msg: str, **fields: Any) -> None:
-    """Log with structured fields (rendered into the JSON formatter)."""
+    """Log with structured fields: rendered as JSON keys under
+    WRT_LOG_JSON, appended as k=v text otherwise (so the fields are never
+    silently dropped in the default text formatter)."""
+    if fields and os.environ.get("WRT_LOG_JSON") != "1":
+        kv = " ".join(f"{k}={v}" for k, v in fields.items())
+        msg = f"{msg} {kv}"
     logger.info(msg, extra={"fields": fields})
