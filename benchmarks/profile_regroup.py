@@ -57,8 +57,8 @@ def main() -> int:
     n_rows = n_tiles * 32
 
     (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks, n_super,
-     tex_pool) = rg.prepare_scene_arrays(scene, basis, chunk_size,
-                                         super_factor)
+     tex_pool, retr_lut) = rg.prepare_scene_arrays(scene, basis, chunk_size,
+                                                   super_factor)
     cam_vec = rg.pack_camera(basis)
     sky_vec = rg.pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -75,7 +75,7 @@ def main() -> int:
 
     k0 = rg._make_k0(w, h, spp, cut, n_spheres, chunk_size, n_chunks,
                      super_factor, n_super, tiles_x, block_w, spp_shift)
-    meta0 = jnp.asarray([0], jnp.uint32)
+    meta0 = jnp.asarray([0, 0], jnp.uint32)  # [frame, row_offset]
 
     @jax.jit
     def run_k0():
@@ -172,8 +172,8 @@ def main() -> int:
                     in_specs=[smem(), smem(), smem()] + scene_specs,
                     out_specs=(pool_blk(), contrib_blk()),
                     out_shape=(pool_shape, contrib_shape),
-                )(jnp.asarray([r], jnp.uint32), cam_vec, sky_vec, *s_attrs,
-                  *chunk_arrays, *super_arrays)
+                )(jnp.asarray([r, 0], jnp.uint32), cam_vec, sky_vec,
+                  *s_attrs, *chunk_arrays, *super_arrays)
                 out = contrib[0, :, :1, :1]
                 if upto >= 1:
                     cpool, inv, count = run_pack.__wrapped__(pool, count0)

@@ -293,7 +293,7 @@ def build_frustum_lists(basis: CameraBasis, chunk_bounds, tiles_x: int,
 def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                  n_chunks, super_factor, n_super, n_spheres,
                  stats: bool = False, tex_pool_ref=None, frustum_ref=None,
-                 frustum_row=None):
+                 frustum_row=None, retr_lut_ref=None, lut_rows: int = 0):
     """Build the (cond, body) pair for the per-bounce physics while_loop.
 
     One bounce = culled closest-hit sweep + winner-attribute retrieval +
@@ -584,7 +584,39 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
             # tex descriptor attrs; base = -1 marks "no image texture"
             neg1 = jnp.full_like(zero, -1.0)
             rinit = rinit + (neg1, zero, zero, neg1, zero, zero)
-        if culling:
+        if retr_lut_ref is not None:
+            # per-lane gather over the attr-major LUT: walk only the
+            # winners' [min,max] row span (tex_lookup's proven pattern),
+            # one gather per (row, attr) — orders of magnitude fewer ops
+            # than cond-visiting every winner's chunk on diverged tiles
+            n_ra = len(rinit)
+            winner = alive & hit
+            idxh = jnp.where(winner, bidx, 0.0).astype(jnp.int32)
+            row_b = idxh >> 7
+            col_b = idxh & 127
+            bigr = jnp.int32(1 << 30)
+            rlo_r = jnp.min(jnp.where(winner, row_b, bigr))
+            rhi_r = jnp.max(jnp.where(winner, row_b, -1))
+
+            def retr_body(r, accs):
+                out = []
+                for a in range(n_ra):
+                    vec = jnp.broadcast_to(
+                        retr_lut_ref[pl.ds(a * lut_rows + r, 1), :],
+                        row_b.shape)
+                    g = jnp.take_along_axis(vec, col_b, axis=1)
+                    out.append(jnp.where(row_b == r, g, accs[a]))
+                return tuple(out)
+
+            gathered = jax.lax.fori_loop(rlo_r, rhi_r + 1, retr_body,
+                                         (zero,) * n_ra)
+            # non-winner lanes keep rinit's defaults (radius 1 guards the
+            # 1/brad normal; tex base -1 = no image fetch)
+            rres = tuple(
+                jnp.where(winner, g, init)
+                for g, init in zip(gathered, rinit)
+            )
+        elif culling:
             def retr_chunk(c, carry):
                 lo_f = (c * chunk_size).astype(f32)
                 hi_f = ((c + 1) * chunk_size).astype(f32)
@@ -778,7 +810,8 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  n_spheres: int, tsub: int, chunk_size: int, n_chunks: int,
                  block_w: int, tiles_x: int, super_factor: int,
                  n_super: int, full_height: int, stats: bool = False,
-                 textures: bool = False):
+                 textures: bool = False, retr: bool = False,
+                 lut_rows: int = 0):
     """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
     (ops/bvh.py): whole-tile AABB slab tests skip chunk bodies (and, for
     big scenes, whole super-chunks of chunks).
@@ -803,6 +836,10 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
             tex_pool_ref = None
+        if retr:
+            retr_lut_ref, rest = rest[0], rest[1:]
+        else:
+            retr_lut_ref = None
         acc_in, acc_out = rest[0], rest[1]
         maybe_stats_ref = rest[2:]
         t = pl.program_id(0)
@@ -838,6 +875,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             num_bounces=num_bounces, chunk_size=chunk_size,
             n_chunks=n_chunks, super_factor=super_factor, n_super=n_super,
             n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
+            retr_lut_ref=retr_lut_ref, lut_rows=lut_rows,
         )
 
         inv_w = f32(1.0 / width)
@@ -1089,8 +1127,25 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
         chunk_arrays = chunk_arrays + (prior_idx.astype(jnp.int32),)
     else:
         chunk_arrays = chunk_arrays + (jnp.zeros((N_PRIORS,), jnp.int32),)
+
+    # Winner-attribute LUT: every retrieval attribute (all of s_attrs but
+    # the sweep-only kq) laid out attr-major in 128-lane rows, so the
+    # kernels fetch each lane's winning sphere's attributes with per-lane
+    # gathers along lanes over the winners' [min,max] row span — instead
+    # of cond-walking every chunk containing any winner (which costs
+    # chunk_size x n_attr selects per visited chunk and dominates
+    # retrieval on diverged post-cut tiles).
+    retr_lut = None
+    if n_chunks > 0:
+        pad_cols = (-n_spheres) % 128
+        planes = []
+        for a in s_attrs[:-1]:
+            col = (jnp.concatenate([a, jnp.zeros((pad_cols,), a.dtype)])
+                   if pad_cols else a)
+            planes.append(col.reshape(-1, 128))
+        retr_lut = jnp.concatenate(planes, axis=0).astype(jnp.float32)
     return (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks,
-            n_super, tex_pool)
+            n_super, tex_pool, retr_lut)
 
 
 @functools.partial(
@@ -1158,7 +1213,7 @@ def render_image_pallas(
     inv_perm = jnp.asarray(inv_perm)
 
     (s_attrs, chunk_arrays, super_arrays,
-     n_spheres, n_chunks, n_super, tex_pool) = prepare_scene_arrays(
+     n_spheres, n_chunks, n_super, tex_pool, retr_lut) = prepare_scene_arrays(
         scene, basis, chunk_size, super_factor)
 
     cam_vec = pack_camera(basis)
@@ -1175,9 +1230,12 @@ def render_image_pallas(
     acc = acc2d.reshape(3, hp * wp)[:, perm].reshape(3, n_tiles * tsub, 128)
 
     textures = tex_pool is not None
+    retr = retr_lut is not None
+    lut_rows = (retr_lut.shape[0] // (18 if textures else 12)) if retr else 0
     kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
                           chunk_size, n_chunks, block_w, tiles_x,
                           super_factor, n_super, full_height, stats=stats,
+                          retr=retr, lut_rows=lut_rows,
                           textures=textures)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     acc_spec = pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
@@ -1194,6 +1252,9 @@ def render_image_pallas(
     if textures:
         pool_inputs = [tex_pool]
         pool_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if retr:
+        pool_inputs.append(retr_lut)
+        pool_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     n_in = 3 + len(s_attrs) + 13 + len(pool_inputs)
     out = pl.pallas_call(
         kernel,

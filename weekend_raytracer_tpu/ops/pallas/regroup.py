@@ -98,7 +98,8 @@ def _sample_seed(pix_u32, frame_hash, smp):
 
 def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
              super_factor, n_super, tiles_x, block_w, spp_shift,
-             textures=False, frustum=False, full_height=None):
+             textures=False, frustum=False, full_height=None,
+             retr=False, lut_rows=0):
     """Camera + bounces [0, b1); dumps the pool (per-lane homes) and the
     contribution image (final radiance for terminated paths, else 0).
 
@@ -120,6 +121,10 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
             tex_pool_ref = None
+        if retr:
+            retr_lut_ref, rest = rest[0], rest[1:]
+        else:
+            retr_lut_ref = None
         if frustum:
             frustum_ref, rest = rest[0], rest[1:]
         else:
@@ -151,7 +156,8 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             num_bounces=b1, chunk_size=chunk_size, n_chunks=n_chunks,
             super_factor=super_factor, n_super=n_super, n_spheres=n_spheres,
             tex_pool_ref=tex_pool_ref, frustum_ref=frustum_ref,
-            frustum_row=t % 8,
+            frustum_row=t % 8, retr_lut_ref=retr_lut_ref,
+            lut_rows=lut_rows,
         )
         state, ox, oy, oz, dx, dy, dz = _camera_ray(
             cam_ref, x.astype(f32), y_g.astype(f32),
@@ -385,7 +391,8 @@ def _pack_kernel_no_inv(count_in_ref, pool_ref, cpool_hbm, count_out_ref,
 
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
              width, height, spp, tiles_x, block_w, spp_shift,
-             textures=False, stats=False, tsub1=32):
+             textures=False, stats=False, tsub1=32, retr=False,
+             lut_rows=0):
     # frame_ref is [frame, row_offset] u32: home slots are shard-local,
     # but RNG seeds derive from GLOBAL pixel ids (see _make_k0).
     """Resume bounces [b_lo, b_hi) over the dense pool (1:1 rows).
@@ -406,6 +413,10 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
             tex_pool_ref = None
+        if retr:
+            retr_lut_ref, rest = rest[0], rest[1:]
+        else:
+            retr_lut_ref = None
         cpool_ref, pool_out_ref = rest[0], rest[1]
         stats_ref = rest[2] if stats else None
         t = pl.program_id(0)
@@ -423,6 +434,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                 num_bounces=b_hi, chunk_size=chunk_size, n_chunks=n_chunks,
                 super_factor=super_factor, n_super=n_super,
                 n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
+                retr_lut_ref=retr_lut_ref, lut_rows=lut_rows,
             )
 
             # The tile is processed in independent (tsub1, 128) sub-blocks,
@@ -746,22 +758,28 @@ def render_image_regrouped(
     if n_rows * 128 >= (1 << 28):
         raise ValueError("regrouped wavefront supports < 2^28 rays/frame")
 
-    (s_attrs, chunk_arrays, super_arrays,
-     n_spheres, n_chunks, n_super, tex_pool) = prepare_scene_arrays(
+    (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks, n_super,
+     tex_pool, retr_lut) = prepare_scene_arrays(
         scene, basis, chunk_size, super_factor)
     textures = tex_pool is not None
+    retr = retr_lut is not None
+    n_ra = 18 if textures else 12
+    lut_rows = (retr_lut.shape[0] // n_ra) if retr else 0
     if k1_chunk_size is None:
         k1_chunk_size = chunk_size
     if k1_chunk_size != chunk_size:
         # separate cull granularity for the omnidirectional resume phases;
         # sphere padding/order is self-consistent within each array set
-        (s_attrs1, chunk_arrays1, super_arrays1,
-         n_sph1, n_chunks1, n_super1, tex_pool1) = prepare_scene_arrays(
+        (s_attrs1, chunk_arrays1, super_arrays1, n_sph1, n_chunks1,
+         n_super1, tex_pool1, retr_lut1) = prepare_scene_arrays(
             scene, basis, k1_chunk_size, super_factor)
     else:
         (s_attrs1, chunk_arrays1, super_arrays1, n_sph1, n_chunks1,
-         n_super1, tex_pool1) = (s_attrs, chunk_arrays, super_arrays,
-                                 n_spheres, n_chunks, n_super, tex_pool)
+         n_super1, tex_pool1, retr_lut1) = (
+            s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks,
+            n_super, tex_pool, retr_lut)
+    retr1 = retr_lut1 is not None
+    lut_rows1 = (retr_lut1.shape[0] // n_ra) if retr1 else 0
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -770,6 +788,9 @@ def render_image_regrouped(
     if textures:
         pool_inputs = [tex_pool]
         pool_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if retr:
+        pool_inputs.append(retr_lut)
+        pool_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     pool_blk = lambda: pl.BlockSpec((1, N_COMP, 32, 128),
                                     lambda i: (i, 0, 0, 0),
@@ -801,7 +822,7 @@ def render_image_regrouped(
     k0 = _make_k0(width, height, spp, cuts[0], n_spheres, chunk_size,
                   n_chunks, super_factor, n_super, tiles_x, block_w,
                   spp_shift, textures=textures, frustum=frustum,
-                  full_height=full_height)
+                  full_height=full_height, retr=retr, lut_rows=lut_rows)
     meta0 = jnp.stack([frame.astype(jnp.uint32),
                        jnp.asarray(row_offset).astype(jnp.uint32)])
     pool, contrib = pl.pallas_call(
@@ -866,14 +887,19 @@ def render_image_regrouped(
         if k1 is None:
             k1 = _make_k1(n_sph1, k1_chunk_size, n_chunks1, super_factor,
                           n_super1, width, height, spp, tiles_x, block_w,
-                          spp_shift, textures=textures, tsub1=k1_tsub)
+                          spp_shift, textures=textures, tsub1=k1_tsub,
+                          retr=retr1, lut_rows=lut_rows1)
             pool_inputs1 = [tex_pool1] if textures else []
+            if retr1:
+                pool_inputs1.append(retr_lut1)
+            pool_specs1 = [pl.BlockSpec(memory_space=pltpu.VMEM)
+                           for _ in pool_inputs1]
         meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
         pool = pl.pallas_call(
             k1,
             grid=(n_tiles,),
             in_specs=[smem(), smem(), smem(), smem()] + scene_specs
-            + pool_specs + [pool_blk()],
+            + pool_specs1 + [pool_blk()],
             out_specs=pool_blk(),
             out_shape=pool_shape,
             interpret=interpret,

@@ -65,7 +65,7 @@ N_COMP = 15
 
 def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
              super_factor, n_super, tiles_x, block_w, block_h, spp_shift,
-             textures=False):
+             textures=False, retr=False, lut_rows=0):
     """Camera generation + bounces [0, b1) + pool/contribution dump.
 
     Lane mapping folds samples into lanes: within a tile's (32, 128) block,
@@ -85,6 +85,10 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
             tex_pool_ref = None
+        if retr:
+            retr_lut_ref, rest = rest[0], rest[1:]
+        else:
+            retr_lut_ref = None
         pool_ref, contrib_ref = rest[0], rest[1]
         t = pl.program_id(0)
         frame = meta_ref[0]
@@ -114,7 +118,8 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             scene, bounds, supers, sky_ref,
             num_bounces=b1, chunk_size=chunk_size, n_chunks=n_chunks,
             super_factor=super_factor, n_super=n_super, n_spheres=n_spheres,
-            tex_pool_ref=tex_pool_ref,
+            tex_pool_ref=tex_pool_ref, retr_lut_ref=retr_lut_ref,
+            lut_rows=lut_rows,
         )
 
         # thin-lens camera ray (wgsl:105-122, 456-478)
@@ -190,7 +195,7 @@ def _compact_kernel(count_in_ref, pool_ref, cpool_hbm, count_out_ref,
 
 
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
-             textures=False):
+             textures=False, retr=False, lut_rows=0):
     """Resume bounces [b_lo, b_hi) over the compacted pool; write the
     updated pool in place (1:1 rows) and DMA each row's contribution to
     its home slot. b_lo/b_hi are runtime scalars — one compilation serves
@@ -207,6 +212,10 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
             tex_pool_ref, rest = rest[0], rest[1:]
         else:
             tex_pool_ref = None
+        if retr:
+            retr_lut_ref, rest = rest[0], rest[1:]
+        else:
+            retr_lut_ref = None
         # rest = cpool in, contrib in (aliased to out), pool out,
         #        contrib out (same buffer as contrib in), then scratch
         cpool_ref, pool_out_ref, contrib_hbm = rest[0], rest[2], rest[3]
@@ -236,6 +245,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                 num_bounces=b_hi, chunk_size=chunk_size, n_chunks=n_chunks,
                 super_factor=super_factor, n_super=n_super,
                 n_spheres=n_spheres, tex_pool_ref=tex_pool_ref,
+                retr_lut_ref=retr_lut_ref, lut_rows=lut_rows,
             )
             carry = (b_lo, ox, oy, oz, dx, dy, dz,
                      tr, tg, tb, cr, cg, cb, alive_f, state)
@@ -348,23 +358,30 @@ def render_image_wavefront(
     n_tiles = tiles_x * tiles_y
     n_rows = n_tiles * 32
 
-    (s_attrs, chunk_arrays, super_arrays,
-     n_spheres, n_chunks, n_super, tex_pool) = prepare_scene_arrays(
+    (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks, n_super,
+     tex_pool, retr_lut) = prepare_scene_arrays(
         scene, basis, chunk_size, super_factor)
     textures = tex_pool is not None
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_specs = [smem()] * len(s_attrs) + [smem()] * 7 + [smem()] * 6
+    retr = retr_lut is not None
+    lut_rows = (retr_lut.shape[0]
+                // (18 if tex_pool is not None else 12)) if retr else 0
     pool_inputs, pool_specs = [], []
     if textures:
         pool_inputs = [tex_pool]
         pool_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if retr:
+        pool_inputs.append(retr_lut)
+        pool_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     b1 = cuts[0] if cuts else num_bounces
     k0 = _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
                   super_factor, n_super, tiles_x, block_w, block_h,
-                  spp_shift, textures=textures)
+                  spp_shift, textures=textures, retr=retr,
+                  lut_rows=lut_rows)
     meta0 = jnp.stack([frame.astype(jnp.uint32)])
     pool, contrib = pl.pallas_call(
         k0,
@@ -420,7 +437,8 @@ def render_image_wavefront(
         b_hi = cuts[pi + 1] if pi + 1 < len(cuts) else num_bounces
         if k1 is None:
             k1 = _make_k1(n_spheres, chunk_size, n_chunks, super_factor,
-                          n_super, textures=textures)
+                          n_super, textures=textures, retr=retr,
+                          lut_rows=lut_rows)
         meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
         pool, contrib = pl.pallas_call(
             k1,
