@@ -73,18 +73,25 @@ def main() -> int:
                                        memory_space=pltpu.VMEM)
     contrib_shape = jax.ShapeDtypeStruct((n_tiles, 3, 32, 128), jnp.float32)
 
+    retr = retr_lut is not None
+    lut_rows = (retr_lut.shape[0]
+                // (18 if tex_pool is not None else 12)) if retr else 0
+    lut_inputs = [retr_lut] if retr else []
+    lut_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] if retr else [])
     k0 = rg._make_k0(w, h, spp, cut, n_spheres, chunk_size, n_chunks,
-                     super_factor, n_super, tiles_x, block_w, spp_shift)
+                     super_factor, n_super, tiles_x, block_w, spp_shift,
+                     retr=retr, lut_rows=lut_rows)
     meta0 = jnp.asarray([0, 0], jnp.uint32)  # [frame, row_offset]
 
     @jax.jit
     def run_k0():
         return pl.pallas_call(
             k0, grid=(n_tiles,),
-            in_specs=[smem(), smem(), smem()] + scene_specs,
+            in_specs=[smem(), smem(), smem()] + scene_specs + lut_specs,
             out_specs=(pool_blk(), contrib_blk()),
             out_shape=(pool_shape, contrib_shape),
-        )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays)
+        )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
+          *lut_inputs)
 
     inv_blk = lambda: pl.BlockSpec((1, rg.N_INV, 32, 128),
                                    lambda i: (i, 0, 0, 0),
@@ -114,7 +121,8 @@ def main() -> int:
         )(count, pool)
 
     k1 = rg._make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
-                     w, h, spp, tiles_x, block_w, spp_shift)
+                     w, h, spp, tiles_x, block_w, spp_shift,
+                     retr=retr, lut_rows=lut_rows)
     meta1 = jnp.asarray([cut, bounces], jnp.int32)
 
     @jax.jit
@@ -122,10 +130,10 @@ def main() -> int:
         return pl.pallas_call(
             k1, grid=(n_tiles,),
             in_specs=[smem(), smem(), smem(), smem()] + scene_specs
-            + [pool_blk()],
+            + lut_specs + [pool_blk()],
             out_specs=pool_blk(), out_shape=pool_shape,
         )(meta1, meta0, count, sky_vec, *s_attrs, *chunk_arrays,
-          *super_arrays, cpool)
+          *super_arrays, *lut_inputs, cpool)
 
     @jax.jit
     def run_table(pool_i, count_i):
@@ -206,7 +214,7 @@ def main() -> int:
         # dead lanes or to chunk bodies the tile cull can't skip?
         k1s = rg._make_k1(n_spheres, chunk_size, n_chunks, super_factor,
                           n_super, w, h, spp, tiles_x, block_w, spp_shift,
-                          stats=True)
+                          stats=True, retr=retr, lut_rows=lut_rows)
         stats_blk = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         stats_shape = jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32)
@@ -216,11 +224,11 @@ def main() -> int:
             return pl.pallas_call(
                 k1s, grid=(n_tiles,),
                 in_specs=[smem(), smem(), smem(), smem()] + scene_specs
-                + [pool_blk()],
+                + lut_specs + [pool_blk()],
                 out_specs=(pool_blk(), stats_blk),
                 out_shape=(pool_shape, stats_shape),
             )(meta1, meta0, count, sky_vec, *s_attrs, *chunk_arrays,
-              *super_arrays, cpool)
+              *super_arrays, *lut_inputs, cpool)
 
         pool, contrib = run_k0()
         cpool, inv, count = run_pack(pool, count0)
