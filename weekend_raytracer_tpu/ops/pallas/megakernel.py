@@ -7,11 +7,12 @@ SURVEY.md §2 — re-architected for the VPU instead of a SIMT rasterizer:
  - grid over pixel tiles; each program owns a (TSUB, 128) lane block of
    pixels with all per-ray state (origin/direction/throughput/color SoA
    component registers) resident in vector registers/VMEM;
- - sphere + material attributes live in SMEM and stream through a
-   fori_loop closest-hit sweep that blends the winning sphere's material
-   attributes into lane registers as it goes — so the kernel needs **no
-   per-lane gathers at all** (TPUs hate random access; the reference's
-   storage-buffer indexing becomes running selects);
+ - sphere attributes live in SMEM and stream through a fori_loop
+   closest-hit sweep carrying only (best_t, best_idx); the winner's
+   attributes are then fetched with per-lane gathers along lanes over an
+   attr-major VMEM LUT (the reference's storage-buffer indexing,
+   raytracer.wgsl:358-362 — rebuilt on the one random-access primitive
+   Mosaic supports, walking just the winners' [min,max] row span);
  - the bounce loop is a while_loop with a whole-tile liveness early-exit
    (the reference's per-thread `break` on miss, wgsl:167, becomes a
    per-tile exit — profitable because paths in a tile terminate together);

@@ -29,12 +29,14 @@ Pipeline per frame (reference capability being scaled: the bounce loop at
           floats per bounce (plus 4 for the camera), so K1 re-derives each
           lane's state from (home slot, frame, b_lo) — bit-identical to
           the megakernel's stream and free of bitcast-through-f32 hazards.
-  UNPACK  contributions return to their pixels by exploiting sortedness:
-          each destination tile's records occupy a contiguous <=34-row
-          pool window (found with one XLA searchsorted over per-row first
-          homes); per destination row a <=2-candidate-row binary search
-          along lanes gathers matching records. No per-lane HBM scatter
-          anywhere.
+  UNPACK  contributions return to their pixels through the pack's
+          INVERSE MAP: the pack already computes every record's dense
+          destination (lane cumsum + sublane-roll row prefix) and emits
+          it per original slot, so each destination row gathers its
+          records from its <=2 candidate pool rows with zero searches.
+          Later phases' pools (multi-cut) stay globally home-sorted and
+          use the search-based unpack instead (their inverse maps are in
+          previous-pool coordinates). No per-lane HBM scatter anywhere.
 
 PACK/K1 can be chained (cuts=(2,4)): records that die in an intermediate
 phase are dropped by the next pack, so the unpack runs over every phase's
