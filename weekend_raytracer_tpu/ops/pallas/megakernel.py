@@ -1036,9 +1036,12 @@ def build_kernel_texture_pool(mat, budget_texels: int = 8192):
 
 
 def default_chunk_size(n_spheres: int) -> int:
-    """Measured optimum (docs/PERF.md): chunk 32 for RTiOW-scale scenes,
-    64 once per-chunk cond/AABB overhead dominates (>= ~2k spheres)."""
-    return 64 if n_spheres >= 2048 else 32
+    """Measured optimum (docs/PERF.md): chunk 32 at every scene scale.
+    Big scenes preferred 64 only while winner retrieval cond-walked
+    chunks; with the LUT-gather retrieval that cost is gone and finer
+    cull precision wins (random10k: 32 -> 135.3 vs 64 -> 131.3 Mrays/s,
+    16 -> 122.2; RTiOW: 32 ~= 16 > 64)."""
+    return 32
 
 
 def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
