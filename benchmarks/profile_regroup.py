@@ -177,11 +177,12 @@ def main() -> int:
             for r in range(reps):
                 pool, contrib = pl.pallas_call(
                     k0, grid=(n_tiles,),
-                    in_specs=[smem(), smem(), smem()] + scene_specs,
+                    in_specs=[smem(), smem(), smem()] + scene_specs
+                    + lut_specs,
                     out_specs=(pool_blk(), contrib_blk()),
                     out_shape=(pool_shape, contrib_shape),
                 )(jnp.asarray([r, 0], jnp.uint32), cam_vec, sky_vec,
-                  *s_attrs, *chunk_arrays, *super_arrays)
+                  *s_attrs, *chunk_arrays, *super_arrays, *lut_inputs)
                 out = contrib[0, :, :1, :1]
                 if upto >= 1:
                     cpool, inv, count = run_pack.__wrapped__(pool, count0)

@@ -179,3 +179,35 @@ def test_viewer_mouse_move_without_press_is_noop():
     v.handle_mouse(10, 5, False)
     v.handle_mouse(20, 9, False)
     assert v.controller.yaw.as_degrees() == yaw0
+
+
+def test_raw_input_escape_sequences_and_eof():
+    """_RawInput must deliver multi-byte escape sequences byte-by-byte
+    (select + buffered stdin mixed them up, turning arrow keys into
+    lone-ESC quits) and flag EOF instead of returning '' forever."""
+    import os
+
+    from weekend_raytracer_tpu.interactive.viewer import _RawInput
+
+    r, w = os.pipe()
+    try:
+        os.write(w, b"\x1b[Aq")
+        inp = _RawInput(r)
+        assert inp.pending()
+        assert inp.read1() == "\x1b"
+        # the rest of the sequence is immediately available from the buffer
+        assert inp.read1(timeout=0.01) == "["
+        assert inp.read1(timeout=0.01) == "A"
+        assert inp.read1() == "q"
+        assert not inp.pending()
+        # timeout path: nothing buffered, nothing on the fd
+        assert inp.read1(timeout=0.01) == ""
+        assert not inp.eof
+        os.close(w)
+        w = -1
+        assert inp.read1() == ""
+        assert inp.eof
+    finally:
+        os.close(r)
+        if w >= 0:
+            os.close(w)
