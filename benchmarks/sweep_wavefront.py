@@ -97,10 +97,13 @@ def main() -> int:
             k0c = os.environ.get("WRT_CHUNK")
             k0c = int(k0c) if k0c else None
             k1t = int(os.environ.get("WRT_K1_TSUB", "32"))
-            bench(f"regroup{cuts}:c{k0c}:k1c{k1c}:t{k1t}", jax.jit(partial(
-                render_image_regrouped, width=w, height=h, spp=spp,
-                num_bounces=bounces, cuts=cuts, chunk_size=k0c,
-                k1_chunk_size=k1c, k1_tsub=k1t), donate_argnums=(0,)))
+            sf = int(os.environ.get("WRT_SUPER", "8"))
+            bench(f"regroup{cuts}:c{k0c}:k1c{k1c}:t{k1t}:sf{sf}",
+                  jax.jit(partial(
+                      render_image_regrouped, width=w, height=h, spp=spp,
+                      num_bounces=bounces, cuts=cuts, chunk_size=k0c,
+                      k1_chunk_size=k1c, k1_tsub=k1t, super_factor=sf),
+                      donate_argnums=(0,)))
         else:
             bench(f"wavefront{cuts}", jax.jit(partial(
                 render_image_wavefront, width=w, height=h, spp=spp,
