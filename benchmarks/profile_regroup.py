@@ -73,9 +73,9 @@ def main() -> int:
                                        memory_space=pltpu.VMEM)
     contrib_shape = jax.ShapeDtypeStruct((n_tiles, 3, 32, 128), jnp.float32)
 
+    assert tex_pool is None, "profiler doesn't wire the texture pool"
     retr = retr_lut is not None
-    lut_rows = (retr_lut.shape[0]
-                // (18 if tex_pool is not None else 12)) if retr else 0
+    lut_rows = -(-n_spheres // 128)
     lut_inputs = [retr_lut] if retr else []
     lut_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] if retr else [])
     k0 = rg._make_k0(w, h, spp, cut, n_spheres, chunk_size, n_chunks,

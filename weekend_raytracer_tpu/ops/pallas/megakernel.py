@@ -1051,8 +1051,11 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
     morton-chunk / super-chunk AABB arrays for tile-granularity culling.
 
     Returns (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks,
-    n_super, tex_pool). Shared by the fused megakernel and the
-    compacted-wavefront kernels (ops/pallas/wavefront.py).
+    n_super, tex_pool, retr_lut): sphere/chunk/super SMEM arrays, padded
+    counts, the packed texture LUT pool (or None), and the attr-major
+    winner-retrieval LUT (or None when culling is off; rows per attr =
+    ceil(n_spheres/128)). Shared by the megakernel and both wavefront
+    variants (ops/pallas/wavefront.py, ops/pallas/regroup.py).
 
     For scenes with image textures, s_attrs carries 6 extra per-sphere
     texture-descriptor attributes (tex1/tex2 base row, width, height — -1
@@ -1235,7 +1238,7 @@ def render_image_pallas(
 
     textures = tex_pool is not None
     retr = retr_lut is not None
-    lut_rows = (retr_lut.shape[0] // (18 if textures else 12)) if retr else 0
+    lut_rows = -(-n_spheres // 128)  # LUT rows per attribute
     kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
                           chunk_size, n_chunks, block_w, tiles_x,
                           super_factor, n_super, full_height, stats=stats,

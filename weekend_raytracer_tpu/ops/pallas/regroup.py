@@ -765,8 +765,7 @@ def render_image_regrouped(
         scene, basis, chunk_size, super_factor)
     textures = tex_pool is not None
     retr = retr_lut is not None
-    n_ra = 18 if textures else 12
-    lut_rows = (retr_lut.shape[0] // n_ra) if retr else 0
+    lut_rows = -(-n_spheres // 128)  # LUT rows per attribute
     if k1_chunk_size is None:
         k1_chunk_size = chunk_size
     if k1_chunk_size != chunk_size:
@@ -781,7 +780,7 @@ def render_image_regrouped(
             s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks,
             n_super, tex_pool, retr_lut)
     retr1 = retr_lut1 is not None
-    lut_rows1 = (retr_lut1.shape[0] // n_ra) if retr1 else 0
+    lut_rows1 = -(-n_sph1 // 128)
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -367,8 +367,7 @@ def render_image_wavefront(
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_specs = [smem()] * len(s_attrs) + [smem()] * 7 + [smem()] * 6
     retr = retr_lut is not None
-    lut_rows = (retr_lut.shape[0]
-                // (18 if tex_pool is not None else 12)) if retr else 0
+    lut_rows = -(-n_spheres // 128)  # LUT rows per attribute
     pool_inputs, pool_specs = [], []
     if textures:
         pool_inputs = [tex_pool]
