@@ -47,7 +47,7 @@ def main() -> int:
     )
 
     chunk_size = default_chunk_size(desc.num_spheres)
-    super_factor = 8
+    super_factor = 16
     spp_shift = spp.bit_length() - 1
     block_w = 128 >> spp_shift
     wp = -(-w // block_w) * block_w

@@ -1176,7 +1176,7 @@ def render_image_pallas(
     tsub: int = 32,
     chunk_size: int | None = None,
     block_w: int = 64,
-    super_factor: int = 8,
+    super_factor: int = 16,
     row_offset: jnp.ndarray | int = 0,
     full_height: int | None = None,
     interpret: bool | None = None,

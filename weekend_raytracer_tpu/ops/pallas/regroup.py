@@ -710,7 +710,7 @@ def render_image_regrouped(
     spp: int,
     num_bounces: int,
     chunk_size: int | None = None,
-    super_factor: int = 8,
+    super_factor: int = 16,
     cuts: tuple = (2,),
     k1_chunk_size: int | None = None,
     k1_tsub: int = 32,

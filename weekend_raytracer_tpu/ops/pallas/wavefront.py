@@ -319,7 +319,7 @@ def render_image_wavefront(
     spp: int,
     num_bounces: int,
     chunk_size: int | None = None,
-    super_factor: int = 8,
+    super_factor: int = 16,
     phase_cuts: tuple = (),
     interpret: bool | None = None,
     debug_counts: bool = False,
