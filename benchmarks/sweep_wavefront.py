@@ -97,7 +97,7 @@ def main() -> int:
             k0c = os.environ.get("WRT_CHUNK")
             k0c = int(k0c) if k0c else None
             k1t = int(os.environ.get("WRT_K1_TSUB", "32"))
-            sf = int(os.environ.get("WRT_SUPER", "8"))
+            sf = int(os.environ.get("WRT_SUPER", "16"))
             bench(f"regroup{cuts}:c{k0c}:k1c{k1c}:t{k1t}:sf{sf}",
                   jax.jit(partial(
                       render_image_regrouped, width=w, height=h, spp=spp,

@@ -32,6 +32,19 @@ def test_orientation_frame():
     np.testing.assert_allclose(o.up, [0, 1, 0], atol=1e-7)
 
 
+def test_orientation_finite_at_vertical_pitch():
+    """pitch = +/-90 deg makes cross(forward, world_up) zero; the frame
+    must stay finite and orthonormal (ADVICE r2: pitch is a public field,
+    only the drag path clamps to +/-89)."""
+    for sign in (1.0, -1.0):
+        o = camera_orientation(Angle.degrees(30.0), Angle.degrees(sign * 90.0))
+        for v in (o.forward, o.right, o.up):
+            assert np.isfinite(v).all()
+            np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-6)
+        assert abs(np.dot(o.right, o.forward)) < 1e-6
+        np.testing.assert_allclose(o.forward, [0, sign, 0], atol=1e-6)
+
+
 def test_translation_along_frame():
     c = FlyCameraController()
     c.position = np.zeros(3)

@@ -30,7 +30,7 @@ def main(argv=None) -> int:
                    help="samples per progressive frame (default: min(4, spp))")
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "pallas", "wavefront", "regroup"])
+                   choices=["auto", "xla", "pallas", "regroup"])
     p.add_argument("--assets", default=None, help="dir with earthmap/moon images")
     p.add_argument("-o", "--output", default="render.png")
     p.add_argument("--hdr", default=None, metavar="PATH.npz",

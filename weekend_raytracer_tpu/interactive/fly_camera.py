@@ -37,8 +37,15 @@ def camera_orientation(yaw: Angle, pitch: Angle) -> Orientation:
     right = np.cross(forward, world_up)
     # |cross(forward, world_up)| = cos(pitch): normalize so translation
     # speed and the drag-look local basis don't shrink at steep pitch
-    # (Camera.look_at normalizes the identical construction)
-    right /= np.linalg.norm(right)
+    # (Camera.look_at normalizes the identical construction). At pitch
+    # = +/-90 deg the cross is zero; fall back to a horizontal right
+    # vector from yaw alone instead of dividing by ~0 (drag clamps pitch
+    # to +/-89 deg, but pitch is a public field).
+    n = np.linalg.norm(right)
+    if n < 1e-6:
+        right = np.array([-sy, 0.0, cy])
+    else:
+        right /= n
     up = np.cross(right, forward)
     return Orientation(forward=forward, right=right, up=up)
 

@@ -294,7 +294,8 @@ def build_frustum_lists(basis: CameraBasis, chunk_bounds, tiles_x: int,
 def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                  n_chunks, super_factor, n_super, n_spheres,
                  stats: bool = False, tex_pool_ref=None, frustum_ref=None,
-                 frustum_row=None, retr_lut_ref=None, lut_rows: int = 0):
+                 frustum_row=None, retr_lut_ref=None, lut_rows: int = 0,
+                 export_hit: bool = False):
     """Build the (cond, body) pair for the per-bounce physics while_loop.
 
     One bounce = culled closest-hit sweep + winner-attribute retrieval +
@@ -306,8 +307,15 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
 
     Carry layout (all [S,128] f32 unless noted):
       (i:i32, ox, oy, oz, dx, dy, dz, tr, tg, tb, cr, cg, cb,
-       alive_f, state:u32 [, live_sum:f32, chunks:i32, supers:i32])
+       alive_f, state:u32 [, hit_chunk:f32 when export_hit]
+       [, live_sum:f32, chunks:i32, supers:i32 when stats])
+
+    export_hit tracks the morton-chunk id of each lane's most recent hit
+    (updated on scattering bounces; exact in f32): the ray-binning key of
+    the regrouped wavefront's per-ray-group traversal (docs/PERF.md
+    round-3 plan).
     """
+    n_fixed = 16 if export_hit else 15
     textures = tex_pool_ref is not None
     if textures:
         (scx, scy, scz, srad, smid, smx,
@@ -427,7 +435,8 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
     def bounce_body(carry):
         (i, ox, oy, oz, dx, dy, dz,
          tr, tg, tb, cr, cg, cb, alive_f, state) = carry[:15]
-        stat_carry = carry[15:]  # (live_sum, chunks, supers) when stats
+        hit_chunk = carry[15] if export_hit else None
+        stat_carry = carry[n_fixed:]  # (live_sum, chunks, supers)
         alive = alive_f > 0.5
 
         zero = jnp.zeros_like(ox)
@@ -799,10 +808,19 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
         dx = jnp.where(scattering, ndx, dx)
         dy = jnp.where(scattering, ndy, dy)
         dz = jnp.where(scattering, ndz, dz)
-        return (i + 1, ox, oy, oz, dx, dy, dz,
-                tr, tg, tb, cr, cg, cb,
-                jnp.where(scattering, 1.0, 0.0).astype(f32),
-                state) + stat_carry
+        out = (i + 1, ox, oy, oz, dx, dy, dz,
+               tr, tg, tb, cr, cg, cb,
+               jnp.where(scattering, 1.0, 0.0).astype(f32),
+               state)
+        if export_hit:
+            # chunk of this bounce's winner (exact: chunk_size is a power
+            # of two and sphere counts stay far below 2^24)
+            if n_chunks > 0:
+                chk = jnp.floor(bidx * f32(1.0 / chunk_size))
+            else:
+                chk = jnp.zeros_like(bidx)
+            out = out + (jnp.where(scattering, chk, hit_chunk),)
+        return out + stat_carry
 
     return bounce_cond, bounce_body
 

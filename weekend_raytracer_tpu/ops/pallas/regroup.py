@@ -101,14 +101,18 @@ def _sample_seed(pix_u32, frame_hash, smp):
 def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
              super_factor, n_super, tiles_x, block_w, spp_shift,
              textures=False, frustum=False, full_height=None,
-             retr=False, lut_rows=0):
+             retr=False, lut_rows=0, export_key=False):
     """Camera + bounces [0, b1); dumps the pool (per-lane homes) and the
     contribution image (final radiance for terminated paths, else 0).
 
     RNG seeds and camera aiming use GLOBAL image coordinates (meta[1] is
     the shard's row offset; full_height the whole image's height) so
     per-shard renders under shard_map reproduce the single-device image
-    row band for row band — same contract as the megakernel."""
+    row band for row band — same contract as the megakernel.
+
+    export_key=True writes each live lane's ray-binning key into _SPARE:
+    8 * (morton chunk of the last hit) + direction octant — the grouping
+    key of the per-ray-group traversal (docs/PERF.md round-3 plan)."""
     f32 = jnp.float32
     if full_height is None:
         full_height = height
@@ -851,7 +855,7 @@ def render_image_regrouped(
         # emits the inverse map (its unpack gathers through it; later
         # pools stay home-sorted for the search-based unpack). ---
         want_inv = pi == 0
-        pack_out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        pack_out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         pack_out_shape = [pool_shape]
         if want_inv:
             pack_out_specs.append(inv_blk())
@@ -933,7 +937,7 @@ def render_image_regrouped(
                 _unpack_inv_kernel,
                 grid=(n_tiles,),
                 in_specs=[smem(), smem(), inv_blk(),
-                          pl.BlockSpec(memory_space=pltpu.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY),
                           contrib_blk()],
                 out_specs=contrib_blk(),
                 out_shape=contrib_shape,
@@ -946,7 +950,7 @@ def render_image_regrouped(
                 _unpack_kernel,
                 grid=(n_tiles,),
                 in_specs=[smem(), smem(),
-                          pl.BlockSpec(memory_space=pltpu.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY),
                           contrib_blk()],
                 out_specs=contrib_blk(),
                 out_shape=contrib_shape,

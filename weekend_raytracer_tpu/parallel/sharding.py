@@ -177,9 +177,7 @@ def render_image_sharded(
         base = jnp.where(clear, jnp.zeros_like(accum_blk), accum_blk)
         return base + contrib
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(
@@ -187,7 +185,7 @@ def render_image_sharded(
             P(), P(), P(), P(), P(),  # scalars + scene/sky/basis replicated
         ),
         out_specs=P(TILE_AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(accum, frame, clear, scene, sky, basis)
 

@@ -104,10 +104,12 @@ class Renderer:
     scene : SceneDesc or prebuilt ops.tracer.Scene
     params : RenderParams (validated on construction and on update)
     backend : "auto" | "regroup" (fused kernels + lane-granular dense ray
-        regrouping between bounce phases — fastest measured) | "wavefront"
-        (fused kernels, sample-folded lanes + optional row compaction) |
-        "pallas" (fused megakernel) | "xla" (jitted wavefront tracer;
-        full-resolution texture reference)
+        regrouping between bounce phases — fastest measured) | "pallas"
+        (fused megakernel) | "xla" (jitted wavefront tracer;
+        full-resolution texture reference). "wavefront" (phase-split
+        kernels with row compaction) is an internal test oracle for the
+        regroup pipeline — accepted here for tests, but never selected
+        by "auto" and not offered by the CLI.
     mesh : optional jax.sharding.Mesh (tiles x spp axes, see
         parallel.sharding.make_mesh). When given, the accumulator is
         row-sharded over the tile axis and every frame renders under
@@ -149,27 +151,30 @@ class Renderer:
 
             validate_mesh_config(mesh, params.viewport_size,
                                  params.sampling.num_samples_per_pixel)
+        # The regrouped wavefront (dense lane-granular ray compaction at
+        # the bounce cut) needs power-of-two per-shard spp <= 128 (lane
+        # folding) and bounces deep enough to cut.
+        spp = params.sampling.num_samples_per_pixel
+        bounces = params.sampling.num_bounces
+        if mesh is not None:
+            from .parallel.sharding import SPP_AXIS
+
+            spp = spp // max(mesh.shape.get(SPP_AXIS, 1), 1)
+        pow2 = spp >= 1 and spp & (spp - 1) == 0
+        regroup_ok = pow2 and spp <= 128 and bounces >= 2
         if backend == "auto":
             # Fused Pallas kernels handle solid/procedural materials
             # natively and image textures via the in-kernel mipped LUT; the
             # XLA path remains the full-resolution-texture reference.
-            # The regrouped wavefront (dense lane-granular ray compaction
-            # at the bounce cut) is the fastest measured — single-device
-            # and per shard under a mesh; it needs power-of-two per-shard
-            # spp <= 128 (lane folding) and bounces deep enough to cut.
-            spp = params.sampling.num_samples_per_pixel
-            bounces = params.sampling.num_bounces
-            if mesh is not None:
-                from .parallel.sharding import SPP_AXIS
-
-                spp = spp // max(mesh.shape.get(SPP_AXIS, 1), 1)
-            pow2 = spp >= 1 and spp & (spp - 1) == 0
-            if pow2 and spp <= 128 and bounces >= 2:
-                backend = "regroup"
-            elif mesh is None and pow2 and spp <= 128:
-                backend = "wavefront"
-            else:
-                backend = "pallas"
+            # Regroup is the fastest measured — single-device and per
+            # shard under a mesh; the megakernel covers everything else.
+            backend = "regroup" if regroup_ok else "pallas"
+        elif backend == "regroup" and not regroup_ok:
+            raise RenderParamsValidationError(
+                "backend='regroup' requires power-of-two (per-shard) "
+                "spp <= 128 and num_bounces >= 2; got spp="
+                f"{spp}, bounces={bounces} — use backend='pallas' or 'auto'"
+            )
         if backend == "wavefront" and mesh is not None:
             raise RenderParamsValidationError(
                 "backend='wavefront' does not support mesh sharding yet; "
@@ -407,7 +412,16 @@ class Renderer:
         h.update(repr(p.sky).encode())
         h.update(repr(tuple(p.viewport_size)).encode())
         h.update(str(p.sampling.num_bounces).encode())
-        h.update(self.backend.encode())
+        # Fingerprint the ESTIMATOR, not the execution engine: the three
+        # fused kernel backends (pallas / wavefront / regroup) draw
+        # identical per-sample radiances (tests/test_regroup.py;
+        # frame sums reassociate at last ulp), so a checkpoint saved
+        # under one resumes under another — and 'auto' re-resolving
+        # after an spp tweak can no longer orphan a checkpoint. The XLA
+        # path is a different estimator (full-resolution image textures
+        # vs the in-kernel mipped LUT), so it fingerprints separately.
+        family = "xla" if self.backend == "xla" else "fused"
+        h.update(family.encode())
         return h.hexdigest()
 
     def save_checkpoint(self, path: str) -> None:
