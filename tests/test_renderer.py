@@ -257,6 +257,29 @@ def test_pallas_backend_renders_image_textures():
     assert np.isclose(a, b, rtol=2e-2, atol=2e-3).all(-1).mean() > 0.9
 
 
+def test_texture_budget_plumbs_through_renderer():
+    """budget_texels reaches the fused kernels (different budgets mip the
+    LUT differently -> different images on a textured scene) and is part
+    of the estimator fingerprint, so checkpoints can't silently blend
+    samples taken at different texture resolutions (VERDICT r2 #3)."""
+    desc = scenes.textured_spheres()
+    params = RenderParams(
+        camera=scenes.textured_spheres_camera(),
+        viewport_size=(64, 36),
+        sampling=SamplingParams(max_samples_per_pixel=4,
+                                num_samples_per_pixel=4, num_bounces=4),
+    )
+    r_lo = Renderer(desc, params, backend="pallas", budget_texels=512)
+    r_hi = Renderer(desc, params, backend="pallas", budget_texels=8192)
+    assert r_lo._fingerprint() != r_hi._fingerprint()
+    r_lo.render()
+    r_hi.render()
+    a, b = np.asarray(r_lo.mean_radiance()), np.asarray(r_hi.mean_radiance())
+    assert not np.array_equal(a, b)
+    # still statistically the same picture
+    assert abs(a.mean() - b.mean()) / b.mean() < 2e-2
+
+
 def test_regroup_backend_matches_wavefront_through_renderer():
     """The regrouped tracer is a drop-in Renderer backend ('auto' default
     for pow2 spp) and bit-matches the uncompacted wavefront frames."""

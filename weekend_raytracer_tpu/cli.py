@@ -43,6 +43,11 @@ def main(argv=None) -> int:
     p.add_argument("--spp-shards", type=int, default=1, metavar="N",
                    help="shard each frame's samples over N devices, merged "
                         "with one psum over ICI (requires --tile-shards)")
+    p.add_argument("--texture-budget", type=int, default=None, metavar="N",
+                   help="texels per image texture in the fused kernels' "
+                        "in-kernel LUT (default 8192; textures are mipped "
+                        "to fit — larger is sharper but slower; the xla "
+                        "backend always samples full resolution)")
     p.add_argument("--stats-json", action="store_true",
                    help="print render stats as one JSON line")
     args = p.parse_args(argv)
@@ -90,7 +95,8 @@ def main(argv=None) -> int:
             tile_shards=args.tile_shards or None,
             spp_shards=args.spp_shards,
         )
-    renderer = Renderer(scene, params, backend=backend, mesh=mesh)
+    renderer = Renderer(scene, params, backend=backend, mesh=mesh,
+                        budget_texels=args.texture_budget)
     backend = renderer.backend
     import os
 

@@ -1062,8 +1062,12 @@ def default_chunk_size(n_spheres: int) -> int:
     return 32
 
 
+DEFAULT_TEXTURE_BUDGET = 8192  # texels per texture in the in-kernel LUT
+
+
 def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
-                         chunk_size: int, super_factor: int):
+                         chunk_size: int, super_factor: int,
+                         budget_texels: int = DEFAULT_TEXTURE_BUDGET):
     """Build the 13 per-sphere SMEM attribute arrays (+ prefolded material
     attributes and the quadratic constant kq = |c|^2 - r^2) and the
     morton-chunk / super-chunk AABB arrays for tile-granularity culling.
@@ -1091,7 +1095,7 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
     )
     tex_pool = None
     if not mat.all_solid:
-        built = build_kernel_texture_pool(mat)
+        built = build_kernel_texture_pool(mat, budget_texels)
         if built is not None:
             tex_pool, desc1, desc2 = built
             s_attrs = s_attrs + (
@@ -1177,7 +1181,7 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "tsub",
                      "chunk_size", "block_w", "super_factor", "full_height",
-                     "interpret", "stats"),
+                     "interpret", "stats", "budget_texels"),
 )
 def render_image_pallas(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -1199,11 +1203,14 @@ def render_image_pallas(
     full_height: int | None = None,
     interpret: bool | None = None,
     stats: bool = False,
+    budget_texels: int = DEFAULT_TEXTURE_BUDGET,
 ) -> jnp.ndarray:
     """One progressive frame via the fused megakernel; drop-in for
     ops.tracer.render_image. Image textures are sampled in-kernel from a
-    packed LUT pool, mipped to <=8192 texels per texture (full resolution
-    stays on the XLA gather path; see build_kernel_texture_pool).
+    packed LUT pool, mipped to <=budget_texels texels per texture (full
+    resolution stays on the XLA gather path; see
+    build_kernel_texture_pool and docs/PERF.md for the budget's
+    quality/speed trade-off).
 
     stats=True additionally returns a [n_tiles, 8] f32 array of per-tile
     instrumentation (0: bounce iterations summed over samples, 1: live-lane
@@ -1239,7 +1246,7 @@ def render_image_pallas(
 
     (s_attrs, chunk_arrays, super_arrays,
      n_spheres, n_chunks, n_super, tex_pool, retr_lut) = prepare_scene_arrays(
-        scene, basis, chunk_size, super_factor)
+        scene, basis, chunk_size, super_factor, budget_texels)
 
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)

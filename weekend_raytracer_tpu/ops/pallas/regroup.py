@@ -699,7 +699,8 @@ def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
                      "super_factor", "cuts", "k1_chunk_size", "k1_tsub",
-                     "full_height", "interpret", "debug_counts"),
+                     "full_height", "interpret", "debug_counts",
+                     "budget_texels"),
 )
 def render_image_regrouped(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -722,6 +723,7 @@ def render_image_regrouped(
     full_height: int | None = None,
     interpret: bool | None = None,
     debug_counts: bool = False,
+    budget_texels: int | None = None,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -766,7 +768,8 @@ def render_image_regrouped(
 
     (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks, n_super,
      tex_pool, retr_lut) = prepare_scene_arrays(
-        scene, basis, chunk_size, super_factor)
+        scene, basis, chunk_size, super_factor,
+        *(() if budget_texels is None else (budget_texels,)))
     textures = tex_pool is not None
     retr = retr_lut is not None
     lut_rows = -(-n_spheres // 128)  # LUT rows per attribute
@@ -777,7 +780,8 @@ def render_image_regrouped(
         # sphere padding/order is self-consistent within each array set
         (s_attrs1, chunk_arrays1, super_arrays1, n_sph1, n_chunks1,
          n_super1, tex_pool1, retr_lut1) = prepare_scene_arrays(
-            scene, basis, k1_chunk_size, super_factor)
+            scene, basis, k1_chunk_size, super_factor,
+            *(() if budget_texels is None else (budget_texels,)))
     else:
         (s_attrs1, chunk_arrays1, super_arrays1, n_sph1, n_chunks1,
          n_super1, tex_pool1, retr_lut1) = (

@@ -304,7 +304,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
                      "super_factor", "phase_cuts", "interpret",
-                     "debug_counts"),
+                     "debug_counts", "budget_texels"),
 )
 def render_image_wavefront(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -323,6 +323,7 @@ def render_image_wavefront(
     phase_cuts: tuple = (),
     interpret: bool | None = None,
     debug_counts: bool = False,
+    budget_texels: int | None = None,
 ) -> jnp.ndarray:
     """One progressive frame via the compacted wavefront; drop-in for
     render_image / render_image_pallas.
@@ -360,7 +361,8 @@ def render_image_wavefront(
 
     (s_attrs, chunk_arrays, super_arrays, n_spheres, n_chunks, n_super,
      tex_pool, retr_lut) = prepare_scene_arrays(
-        scene, basis, chunk_size, super_factor)
+        scene, basis, chunk_size, super_factor,
+        *(() if budget_texels is None else (budget_texels,)))
     textures = tex_pool is not None
     cam_vec = pack_camera(basis)
     sky_vec = pack_sky(sky)

@@ -95,6 +95,7 @@ def render_image_sharded(
     sphere_chunk: int = 512,
     backend: str = "xla",
     aim_height: Optional[int] = None,
+    budget_texels: Optional[int] = None,
 ) -> jnp.ndarray:
     """One progressive frame over the mesh; returns the new accumulator.
 
@@ -150,6 +151,7 @@ def render_image_sharded(
                 cuts=(min(3, num_bounces - 1),),
                 row_offset=(tile_idx * block_rows).astype(jnp.uint32),
                 full_height=aim_height,
+                budget_texels=budget_texels,
             )
         elif backend == "pallas":
             from ..ops.pallas.megakernel import render_image_pallas
@@ -161,6 +163,8 @@ def render_image_sharded(
                 num_bounces=num_bounces,
                 row_offset=(tile_idx * block_rows).astype(jnp.uint32),
                 full_height=aim_height,
+                **({} if budget_texels is None
+                   else {"budget_texels": budget_texels}),
             )
         elif backend == "xla":
             pixel_idx = tile_idx * block + jnp.arange(block, dtype=jnp.int32)

@@ -115,10 +115,15 @@ class Renderer:
         row-sharded over the tile axis and every frame renders under
         shard_map, merging spp-axis sample shards with one psum over ICI.
         Heights not divisible by the tile axis are padded internally.
+    budget_texels : texels per image texture in the fused kernels'
+        in-kernel LUT (default 8192). Textures are mipped down to fit;
+        larger budgets sharpen high-frequency textures at a measured
+        speed cost (docs/PERF.md). The XLA backend always samples full
+        resolution and ignores this.
     """
 
     def __init__(self, scene, params: RenderParams, backend: str = "auto",
-                 mesh=None):
+                 mesh=None, budget_texels: Optional[int] = None):
         from .utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -131,6 +136,7 @@ class Renderer:
             self._scene = scene
         self._backend_request = backend
         self.mesh = mesh
+        self.budget_texels = budget_texels
         self.backend = self._resolve_backend(params)
         self._params = params
         self._progress = RenderProgress()
@@ -242,7 +248,10 @@ class Renderer:
         w, h = self._params.viewport_size
         hp = self._padded_height()
         n_spheres = int(self._scene.spheres.centers.shape[0])
-        key = (self.backend, w, h, spp, bounces, n_spheres)
+        key = (self.backend, w, h, spp, bounces, n_spheres,
+               self.budget_texels)
+        bt = ({} if self.budget_texels is None
+              else {"budget_texels": self.budget_texels})
         if key not in self._step_cache:
             if self.mesh is not None:
                 from .parallel.sharding import render_image_sharded
@@ -256,6 +265,7 @@ class Renderer:
                     num_bounces=bounces,
                     mesh=self.mesh,
                     backend=self.backend,
+                    budget_texels=self.budget_texels,
                 )
             elif self.backend == "regroup":
                 from .ops.pallas.regroup import render_image_regrouped
@@ -269,6 +279,7 @@ class Renderer:
                     spp=spp,
                     num_bounces=bounces,
                     cuts=(min(3, bounces - 1),),
+                    **bt,
                 )
             elif self.backend == "wavefront":
                 from .ops.pallas.wavefront import render_image_wavefront
@@ -279,6 +290,7 @@ class Renderer:
                     height=h,
                     spp=spp,
                     num_bounces=bounces,
+                    **bt,
                 )
             elif self.backend == "pallas":
                 from .ops.pallas.megakernel import render_image_pallas
@@ -289,6 +301,7 @@ class Renderer:
                     height=h,
                     spp=spp,
                     num_bounces=bounces,
+                    **bt,
                 )
             else:
                 fn = partial(
@@ -422,6 +435,14 @@ class Renderer:
         # vs the in-kernel mipped LUT), so it fingerprints separately.
         family = "xla" if self.backend == "xla" else "fused"
         h.update(family.encode())
+        if family == "fused" and not self._scene.materials.all_solid:
+            # the in-kernel texture LUT budget changes what the fused
+            # kernels actually sample — part of the estimator
+            from .ops.pallas.megakernel import DEFAULT_TEXTURE_BUDGET
+
+            bt = (DEFAULT_TEXTURE_BUDGET if self.budget_texels is None
+                  else self.budget_texels)
+            h.update(str(bt).encode())
         return h.hexdigest()
 
     def save_checkpoint(self, path: str) -> None:
