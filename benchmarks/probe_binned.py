@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    from weekend_raytracer_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -204,6 +207,20 @@ def main() -> int:
     recs = rec[live]
     L = recs.shape[0]
     print(json.dumps({"phase": "live_records", "n": int(L)}), flush=True)
+
+    if "dump" in args:
+        # save the live records + chunk/sphere data for offline,
+        # order-aware cull simulation (benchmarks/sim_order.py)
+        out = f"/tmp/pool_{scene_name}_cut{cut}.npz"
+        np.savez_compressed(
+            out, recs=recs.astype(np.float32),
+            chunk_bounds=np.stack([np.asarray(a) for a in
+                                   chunk_arrays[:6]]),
+            s_attrs=np.stack([np.asarray(a) for a in s_attrs[:4]]),
+            kq=np.asarray(s_attrs[-1]), chunk_size=chunk_size,
+            eye=np.asarray(basis.eye))
+        print(json.dumps({"phase": "dump", "path": out}), flush=True)
+        return 0
 
     ox, oy, oz = recs[:, rg._OX], recs[:, rg._OY], recs[:, rg._OZ]
     dx, dy, dz = recs[:, rg._DX], recs[:, rg._DY], recs[:, rg._DZ]

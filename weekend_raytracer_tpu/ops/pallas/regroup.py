@@ -29,19 +29,22 @@ Pipeline per frame (reference capability being scaled: the bounce loop at
           floats per bounce (plus 4 for the camera), so K1 re-derives each
           lane's state from (home slot, frame, b_lo) — bit-identical to
           the megakernel's stream and free of bitcast-through-f32 hazards.
-  UNPACK  contributions return to their pixels through the pack's
-          INVERSE MAP: the pack already computes every record's dense
-          destination (lane cumsum + sublane-roll row prefix) and emits
-          it per original slot, so each destination row gathers its
-          records from its <=2 candidate pool rows with zero searches.
-          Later phases' pools (multi-cut) stay globally home-sorted and
-          use the search-based unpack instead (their inverse maps are in
-          previous-pool coordinates). No per-lane HBM scatter anywhere.
+  COMBINE contributions return to their pixels through the packs'
+          INVERSE MAPS, composed in reverse: every pack emits, per input
+          slot, the dense position its record was packed to (lane cumsum
+          + sublane-roll row prefix), so each destination row gathers
+          its records from <=2 candidate pool rows with zero searches.
+          Walking phases last-to-first, R_i = own tr*cr where the path
+          terminated in phase i, else R_{i+1} through phase i+1's map;
+          the final level lands R_0 on home slots over K0's contribution
+          image. No per-lane HBM scatter anywhere, and later cuts cost
+          only one cheap 8-comp-window level each — the round-2
+          search-based unpack that made second cuts a net loss is gone.
 
-PACK/K1 can be chained (cuts=(2,4)): records that die in an intermediate
-phase are dropped by the next pack, so the unpack runs over every phase's
-pool in order — alive-at-cut records write zeros that the next pass
-overwrites, and each home slot receives its radiance exactly once.
+PACK/K1 chain freely (cuts=(3,5)): records that die in an intermediate
+phase are dropped by the next pack and their radiance picked up by that
+phase's combine level; each home slot receives its radiance exactly
+once.
 
 Home slot ids are stored as TWO small exact-in-f32 integers (lo 12 bits /
 hi) so no payload component ever round-trips through a bitcast: every
@@ -163,7 +166,7 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             super_factor=super_factor, n_super=n_super, n_spheres=n_spheres,
             tex_pool_ref=tex_pool_ref, frustum_ref=frustum_ref,
             frustum_row=t % 8, retr_lut_ref=retr_lut_ref,
-            lut_rows=lut_rows,
+            lut_rows=lut_rows, export_hit=bool(export_key),
         )
         state, ox, oy, oz, dx, dy, dz = _camera_ray(
             cam_ref, x.astype(f32), y_g.astype(f32),
@@ -173,9 +176,11 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
         zero = jnp.zeros((32, 128), f32)
         carry = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
                  one, one, one, zero, zero, zero, one, state)
+        if export_key:
+            carry = carry + (zero,)
         carry = jax.lax.while_loop(bounce_cond, bounce_body, carry)
         (_, ox, oy, oz, dx, dy, dz,
-         tr, tg, tb, cr, cg, cb, alive_f, _state) = carry
+         tr, tg, tb, cr, cg, cb, alive_f, _state) = carry[:15]
 
         slot = (t * 32 + rows) * 128 + cols
         for comp, val in ((_OX, ox), (_OY, oy), (_OZ, oz),
@@ -186,7 +191,18 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
         pool_ref[0, _HLO] = (slot & (_HOME_RADIX - 1)).astype(f32)
         pool_ref[0, _HHI] = (slot >> 12).astype(f32)
         pool_ref[0, _AL] = alive_f
-        pool_ref[0, _SPARE] = jnp.zeros((32, 128), f32)
+        if export_key:
+            # bin key = (last-hit chunk >> key_shift) * 8 + direction
+            # octant, in [0, n_bins); export_key IS the chunk shift + 1
+            # (so callers pass 1 + shift; 0 disables)
+            shift = int(export_key) - 1
+            hch = jnp.floor(carry[15] * f32(1.0 / (1 << shift)))
+            oct_ = (jnp.where(dx >= 0.0, 4.0, 0.0)
+                    + jnp.where(dy >= 0.0, 2.0, 0.0)
+                    + jnp.where(dz >= 0.0, 1.0, 0.0))
+            pool_ref[0, _SPARE] = hch * 8.0 + oct_
+        else:
+            pool_ref[0, _SPARE] = jnp.zeros((32, 128), f32)
         contrib_ref[0, 0] = tr * cr
         contrib_ref[0, 1] = tg * cg
         contrib_ref[0, 2] = tb * cb
@@ -229,23 +245,6 @@ def _cumsum_rows(x):
         sh = pltpu.roll(x, s, 0)
         x = x + jnp.where(srow >= s, sh, 0.0)
     return x
-
-
-def _lower_bound_i32(c_i32, target_i32):
-    """lower_bound over sorted i32 values: the gather rides an f32
-    bitcast (bit-preserving, benchmarks/probe_mosaic.py) so slot ids stay
-    exact beyond 2^24."""
-    cf = jax.lax.bitcast_convert_type(c_i32, jnp.float32)
-    lo = jnp.zeros(c_i32.shape, jnp.int32)
-    hi = jnp.full(c_i32.shape, c_i32.shape[-1] - 1, jnp.int32)
-    for _ in range(7):
-        mid = (lo + hi) >> 1
-        v = jax.lax.bitcast_convert_type(
-            jnp.take_along_axis(cf, mid, axis=-1), jnp.int32)
-        ge = v >= target_i32
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, mid + 1)
-    return lo
 
 
 def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
@@ -383,16 +382,6 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
         counter_smem[0] = base + 1
 
     count_out_ref[0] = counter_smem[0]
-
-
-def _pack_kernel_no_inv(count_in_ref, pool_ref, cpool_hbm, count_out_ref,
-                        *scratch):
-    """Pack without the inverse-map output: later phases' unpacks are
-    home-search based (their inverse maps would be in previous-pool
-    coordinates), so emitting one would only burn VMEM work and an
-    (n_tiles, 4, 32, 128) HBM buffer per phase."""
-    return _pack_kernel(count_in_ref, pool_ref, cpool_hbm, None,
-                        count_out_ref, *scratch)
 
 
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
@@ -593,18 +582,19 @@ def _unpack_inv_kernel(tbl_ref, count_ref, inv_ref, cpool_hbm, contrib_in,
         contrib_out[0, ch] = rowbufs[ch][:]
 
 
-def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
-                   win, rb0, rb1, rb2, sems):
-    """Scatter pool contributions home. Pool homes are globally sorted, so
-    destination tile t's records live in the contiguous row window
-    [tbl[t], min(tbl[t+1], count-1)] (<=34 rows); within a window row,
-    homes are sorted along lanes, so each destination row resolves with a
-    binary search over at most two candidate rows.
+def _unpack_radiance_kernel(tbl_ref, count_ref, inv_ref, rpool_hbm,
+                            base_in, contrib_out, win, rb0, rb1, rb2,
+                            sems):
+    """Compose one regrouping level of the reverse combine.
 
-    The per-destination-row work runs in a fori_loop (dynamic leading-dim
-    reads/stores only): a 32x unroll made XLA's interpret-mode compile take
-    minutes and bloats the Mosaic program for no speedup."""
-    f32 = jnp.float32
+    For every destination slot (a position in the previous phase's pool,
+    or a home slot at the final level), fetch the downstream radiance of
+    its record through that phase's inverse map; slots whose record was
+    NOT repacked (the path terminated in the previous phase, or inside
+    K0 at the final level) keep ``base_in``. Dest rows ride the same
+    <=2-candidate-row gather as _unpack_inv_kernel — stable packs keep
+    the map monotone with consecutive dense destinations — but windows
+    carry only the 8-comp radiance pool rows, not full records."""
     t = pl.program_id(0)
     count = count_ref[0]
     start = tbl_ref[t]
@@ -616,7 +606,7 @@ def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
         def _(w=w):
             r = start + w
             pltpu.make_async_copy(
-                cpool_hbm.at[r // 32, :, r % 32],
+                rpool_hbm.at[r // 32, :, r % 32],
                 win.at[w],
                 sems.at[w],
             ).start()
@@ -625,71 +615,39 @@ def _unpack_kernel(tbl_ref, count_ref, cpool_hbm, contrib_in, contrib_out,
         def _(w=w):
             r = start + w
             pltpu.make_async_copy(
-                cpool_hbm.at[r // 32, :, r % 32],
+                rpool_hbm.at[r // 32, :, r % 32],
                 win.at[w],
                 sems.at[w],
             ).wait()
 
-    # first home slot of each window row (scalar reads; invalid -> +inf).
-    # Slot arithmetic is i32 throughout: exact past 2^24 rays/frame.
-    big = jnp.int32(1 << 29)
-    hs = []
-    for w in range(34):
-        h0 = (win[w, _HHI, 0].astype(jnp.int32) * _HOME_RADIX
-              + win[w, _HLO, 0].astype(jnp.int32))
-        hs.append(jnp.where(w < nwin, h0, big))
-
-    # channel buffers start as the incoming contributions (non-matching
-    # lanes keep them); the fori body reads/writes rows at dynamic j.
     rowbufs = (rb0, rb1, rb2)
     for ch in range(3):
-        rowbufs[ch][:] = contrib_in[0, ch]
+        rowbufs[ch][:] = base_in[0, ch]
 
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    any_win = nwin > 0
-
-    def _body_all(j, _):
-        base = (t * 32 + j) * 128
-        a = jnp.int32(0)
-        for w in range(1, 34):
-            a = jnp.where(hs[w] <= base, jnp.int32(w), a)
-
-        tgt = base + lane1
-
-        def match_row(widx, valid_scalar):
-            blk = win[pl.ds(widx, 1)][0]  # (N_COMP, 128)
-            # searches run at (8,128): sub-8-sublane lane gathers don't
-            # lower (benchmarks/probe_mosaic.py take_along_lane_1row)
-            slots8 = jnp.broadcast_to(
-                blk[_HHI:_HHI + 1, :].astype(jnp.int32) * _HOME_RADIX
-                + blk[_HLO:_HLO + 1, :].astype(jnp.int32),
-                (8, 128))  # sorted along lanes
-            tgt8 = jnp.broadcast_to(tgt, (8, 128))
-            srcidx = _lower_bound_i32(slots8, tgt8)
-            got = jnp.take_along_axis(
-                jax.lax.bitcast_convert_type(slots8, f32), srcidx, axis=1)
-            got = jax.lax.bitcast_convert_type(got, jnp.int32)
-            m = (got[0:1] == tgt) & valid_scalar
-            gidx = jnp.broadcast_to(srcidx[0:1], (N_COMP, 128))
-            vals = jnp.take_along_axis(blk, gidx, axis=1)
-            return m, vals
-
-        ma, va = match_row(a, any_win)
-        mb, vb = match_row(jnp.minimum(a + 1, 33), any_win & (a + 1 < nwin))
-
-        for ch, (ctr, ccr) in enumerate(((_TR, _CR), (_TG, _CG),
-                                         (_TB, _CB))):
-            ra = va[ctr:ctr + 1, :] * va[ccr:ccr + 1, :]
-            rb = vb[ctr:ctr + 1, :] * vb[ccr:ccr + 1, :]
-            cur = rowbufs[ch][pl.ds(j, 1), :]
-            rowbufs[ch][pl.ds(j, 1), :] = jnp.where(
-                ma, ra, jnp.where(mb, rb, cur))
-        return 0
-
-    @pl.when(any_win)
+    @pl.when(nwin > 0)
     def _():
-        # destination tiles with no live records pass contrib through
-        jax.lax.fori_loop(0, 32, _body_all, 0)
+        def body(j, _):
+            first = inv_ref[0, _INV_FIRST, j, 0].astype(jnp.int32)
+            a = jnp.clip(first - start, 0, 33)
+            prow_f = inv_ref[0, _INV_ROW, pl.ds(j, 1), :]
+            lidx = inv_ref[0, _INV_LANE, pl.ds(j, 1), :].astype(jnp.int32)
+            prow = prow_f.astype(jnp.int32)
+            off = prow - (start + a)
+            use_b = off == 1
+            live = (prow_f < _DEAD_ROW) & ((off == 0) | use_b)
+            blk_a = win[pl.ds(a, 1)][0]
+            blk_b = win[pl.ds(jnp.minimum(a + 1, 33), 1)][0]
+            idx8 = jnp.broadcast_to(lidx, (8, 128))
+            va = jnp.take_along_axis(blk_a, idx8, axis=1)
+            vb = jnp.take_along_axis(blk_b, idx8, axis=1)
+            for ch in range(3):
+                cur = rowbufs[ch][pl.ds(j, 1), :]
+                rowbufs[ch][pl.ds(j, 1), :] = jnp.where(
+                    live, jnp.where(use_b, vb[ch:ch + 1], va[ch:ch + 1]),
+                    cur)
+            return 0
+
+        jax.lax.fori_loop(0, 32, body, 0)
 
     for ch in range(3):
         contrib_out[0, ch] = rowbufs[ch][:]
@@ -846,32 +804,26 @@ def render_image_regrouped(
       *pool_inputs, *fr_inputs)
 
     count = jnp.asarray([n_rows], jnp.int32)
-    counts = []
-    pools = []
-    invs = []
     inv_blk = lambda: pl.BlockSpec((1, N_INV, 32, 128),
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
     inv_shape = jax.ShapeDtypeStruct((n_tiles, N_INV, 32, 128), jnp.float32)
     k1 = None
+    phases = []  # (k1_out_pool, count, inv, dest_count)
     for pi, b_lo in enumerate(cuts):
-        # --- PACK: dense lane-granular compaction. Only the first phase
-        # emits the inverse map (its unpack gathers through it; later
-        # pools stay home-sorted for the search-based unpack). ---
-        want_inv = pi == 0
-        pack_out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-        pack_out_shape = [pool_shape]
-        if want_inv:
-            pack_out_specs.append(inv_blk())
-            pack_out_shape.append(inv_shape)
-        pack_out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        pack_out_shape.append(jax.ShapeDtypeStruct((1,), jnp.int32))
+        # --- PACK: dense lane-granular compaction. EVERY phase emits its
+        # inverse map (input-slot -> dense position); the reverse combine
+        # composes them, so later pools need no home-sortedness and no
+        # binary-search unpack. ---
+        dest_count = count  # rows of this pack's input space
         packed = pl.pallas_call(
-            _pack_kernel if want_inv else _pack_kernel_no_inv,
+            _pack_kernel,
             grid=(n_tiles,),
             in_specs=[smem(), pool_blk()],
-            out_specs=tuple(pack_out_specs),
-            out_shape=tuple(pack_out_shape),
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY), inv_blk(),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            out_shape=(pool_shape, inv_shape,
+                       jax.ShapeDtypeStruct((1,), jnp.int32)),
             scratch_shapes=[
                 pltpu.VMEM((N_COMP, 32, 128), jnp.float32),  # pscratch
                 pltpu.VMEM((32, 128), jnp.float32),          # counts
@@ -884,12 +836,7 @@ def render_image_regrouped(
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(count, pool)
-        if want_inv:
-            cpool, inv, count = packed
-            invs.append(inv)
-        else:
-            cpool, count = packed
-        counts.append(count)
+        cpool, inv, count = packed
 
         # --- K1: resume bounces on dense tiles ---
         b_hi = cuts[pi + 1] if pi + 1 < len(cuts) else num_bounces
@@ -914,54 +861,57 @@ def render_image_regrouped(
             interpret=interpret,
         )(meta1, meta0, count, sky_vec, *s_attrs1, *chunk_arrays1,
           *super_arrays1, *pool_inputs1, cpool)
-        pools.append((pool, count))
+        phases.append((pool, count, inv, dest_count))
 
-    # --- UNPACK: contributions home, one pass per phase pool. The first
-    # phase (original slots) rides the pack's inverse map — zero searches;
-    # later phases' pools are still globally home-sorted, so they use the
-    # binary-search unpack (their inverse maps are in previous-pool
-    # coordinates, not home coordinates).
-    tile_bases = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (32 * 128)
-    for pi, (pool_i, count_i) in enumerate(pools):
-        h0 = (pool_i[:, _HHI, :, 0].astype(jnp.int32) * _HOME_RADIX
-              + pool_i[:, _HLO, :, 0].astype(jnp.int32)).reshape(-1)
-        rowid = jnp.arange(n_rows, dtype=jnp.int32)
-        h0 = jnp.where(rowid < count_i[0], h0, jnp.int32(1 << 29))
-        starts = jnp.searchsorted(h0, tile_bases, side="right") - 1
-        tbl = jnp.maximum(starts, 0).astype(jnp.int32)
-        scratch = [
-            pltpu.VMEM((34, N_COMP, 128), jnp.float32),
-            pltpu.VMEM((32, 128), jnp.float32),
-            pltpu.VMEM((32, 128), jnp.float32),
-            pltpu.VMEM((32, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((34,)),
-        ]
-        if pi == 0:
-            contrib = pl.pallas_call(
-                _unpack_inv_kernel,
-                grid=(n_tiles,),
-                in_specs=[smem(), smem(), inv_blk(),
-                          pl.BlockSpec(memory_space=pl.ANY),
-                          contrib_blk()],
-                out_specs=contrib_blk(),
-                out_shape=contrib_shape,
-                scratch_shapes=scratch,
-                input_output_aliases={4: 0},
-                interpret=interpret,
-            )(tbl, count_i, invs[0], pool_i, contrib)
-        else:
-            contrib = pl.pallas_call(
-                _unpack_kernel,
-                grid=(n_tiles,),
-                in_specs=[smem(), smem(),
-                          pl.BlockSpec(memory_space=pl.ANY),
-                          contrib_blk()],
-                out_specs=contrib_blk(),
-                out_shape=contrib_shape,
-                scratch_shapes=scratch,
-                input_output_aliases={3: 0},
-                interpret=interpret,
-            )(tbl, count_i, pool_i, contrib)
+    # --- COMBINE (reverse map composition): walking phases last-to-first,
+    # compute R_i[p] = the final radiance of the path whose record sits at
+    # position p of phase i's pool — its own tr*cr if it terminated there,
+    # else R_{i+1} gathered through phase i+1's inverse map. The final
+    # level lands R_0 on home slots over the K0 contribution image. Each
+    # level is one _unpack_radiance_kernel pass whose windows carry only
+    # 8-comp radiance rows; stable packs keep every map's destinations
+    # consecutive, so the <=2-candidate-row gather applies at every level.
+    def radiance3(pool_i):
+        return pool_i[:, _TR:_TR + 3] * pool_i[:, _CR:_CR + 3]
+
+    def pad8(r3):
+        return jnp.concatenate(
+            [r3, jnp.zeros((n_tiles, 5, 32, 128), jnp.float32)], axis=1)
+
+    def combine_level(inv_i, src_count, dest_count, rpool8, base3):
+        tiles_live = (jnp.arange(n_tiles, dtype=jnp.int32) * 32
+                      < dest_count[0])
+        tbl_raw = inv_i[:, _INV_FIRST, 0, 0].astype(jnp.int32)
+        tbl = jnp.where(tiles_live, tbl_raw, src_count[0])
+        tbl = jnp.clip(tbl, 0, jnp.maximum(src_count[0] - 1, 0))
+        tbl = jnp.concatenate([tbl, src_count])
+        return pl.pallas_call(
+            _unpack_radiance_kernel,
+            grid=(n_tiles,),
+            in_specs=[smem(), smem(), inv_blk(),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      contrib_blk()],
+            out_specs=contrib_blk(),
+            out_shape=contrib_shape,
+            scratch_shapes=[
+                pltpu.VMEM((34, 8, 128), jnp.float32),
+                pltpu.VMEM((32, 128), jnp.float32),
+                pltpu.VMEM((32, 128), jnp.float32),
+                pltpu.VMEM((32, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((34,)),
+            ],
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )(tbl, src_count, inv_i, rpool8, base3)
+
+    r3 = radiance3(phases[-1][0])
+    for pi in range(len(phases) - 1, 0, -1):
+        pool_prev, count_prev = phases[pi - 1][0], phases[pi - 1][1]
+        _, src_count, inv_i, dc = phases[pi]
+        r3 = combine_level(inv_i, src_count, dc, pad8(r3),
+                           radiance3(pool_prev))
+    contrib = combine_level(phases[0][2], phases[0][1], phases[0][3],
+                            pad8(r3), contrib)
 
     # --- contributions -> scanline pixel image (pure reshape/transpose) ---
     tiles_y = hp // 32
@@ -973,5 +923,6 @@ def render_image_regrouped(
     base = jnp.where(clear, jnp.zeros_like(accum), accum)
     out = base + img
     if debug_counts:
-        return out, (jnp.asarray([n_rows], jnp.int32),) + tuple(counts)
+        return out, (jnp.asarray([n_rows], jnp.int32),) + tuple(
+            ph[1] for ph in phases)
     return out
