@@ -117,3 +117,36 @@ def test_missing_dataset_falls_back(monkeypatch):
     monkeypatch.delenv("WRT_HW_DATASET", raising=False)
     state = to_sky_state(SkyParams())
     assert state.params.shape == (3, 9)
+
+
+def test_renderer_hw_dataset_param(tmp_path, monkeypatch):
+    """Renderer(hw_dataset=...) cooks the sky from the dataset without
+    env vars, reports its sky provenance, and fingerprints the cooked
+    coefficients (a dataset-cooked checkpoint refuses to resume under the
+    built-in fit) — VERDICT r2 #2."""
+    from weekend_raytracer_tpu import (
+        RenderParams, Renderer, SamplingParams,
+    )
+    from weekend_raytracer_tpu.models import scenes
+
+    monkeypatch.delenv("WRT_HW_DATASET", raising=False)
+    c, r = _synthetic()
+    c[..., 1] = -1.0
+    c[..., 4] = -1.0
+    c[..., 8] = 0.5
+    path = tmp_path / "hw.npz"
+    np.savez(path, config=c, radiance=r)
+
+    params = RenderParams(
+        camera=scenes.three_spheres_camera(),
+        viewport_size=(16, 10),
+        sampling=SamplingParams(max_samples_per_pixel=2,
+                                num_samples_per_pixel=2, num_bounces=3),
+    )
+    exact = Renderer(scenes.three_spheres(), params, hw_dataset=str(path))
+    fit = Renderer(scenes.three_spheres(), params)
+    assert exact.sky_model() == "hosek-wilkie-2012-exact"
+    assert fit.sky_model() == "preetham-fit-builtin"
+    assert not np.allclose(np.asarray(exact._sky.params),
+                           np.asarray(fit._sky.params))
+    assert exact._fingerprint() != fit._fingerprint()

@@ -48,6 +48,12 @@ def main(argv=None) -> int:
                         "in-kernel LUT (default 8192; textures are mipped "
                         "to fit — larger is sharper but slower; the xla "
                         "backend always samples full resolution)")
+    p.add_argument("--hw-dataset", default=None, metavar="PATH",
+                   help="path to the published Hosek-Wilkie 2012 RGB "
+                        "dataset (ArHosekSkyModelData_RGB.h or .npz): "
+                        "cook sky coefficients exactly like the "
+                        "reference's hw_skymodel crate instead of the "
+                        "built-in Preetham fit (also: WRT_HW_DATASET)")
     p.add_argument("--stats-json", action="store_true",
                    help="print render stats as one JSON line")
     args = p.parse_args(argv)
@@ -96,7 +102,8 @@ def main(argv=None) -> int:
             spp_shards=args.spp_shards,
         )
     renderer = Renderer(scene, params, backend=backend, mesh=mesh,
-                        budget_texels=args.texture_budget)
+                        budget_texels=args.texture_budget,
+                        hw_dataset=args.hw_dataset)
     backend = renderer.backend
     import os
 
@@ -122,6 +129,7 @@ def main(argv=None) -> int:
         "warmup_seconds": round(stats.warmup_seconds, 3),
         "rays_per_sec": round(stats.rays_per_sec, 1),
         "devices": mesh.devices.size if mesh is not None else 1,
+        "sky": renderer.sky_model(),
         "output": args.output,
     }
     if args.stats_json:

@@ -240,6 +240,19 @@ def _fit_hw_params(cos_theta, gamma, target, x0) -> np.ndarray | None:
     return res.x
 
 
+def sky_model_name(hw_dataset_path: str | None = None) -> str:
+    """Which sky model a render with this configuration uses: the exact
+    Hosek-Wilkie 2012 dataset cooking when a dataset is available
+    (``hw_dataset_path`` or WRT_HW_DATASET), else the built-in
+    Preetham-derived fit. Surfaced by the CLI so every render states its
+    sky provenance plainly (VERDICT r2 #2)."""
+    import os
+
+    if hw_dataset_path or os.environ.get("WRT_HW_DATASET"):
+        return "hosek-wilkie-2012-exact"
+    return "preetham-fit-builtin"
+
+
 def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0,
                  hw_dataset_path: str | None = None) -> SkyState:
     """Compute the device SkyState (reference mod.rs:567-595).

@@ -120,10 +120,16 @@ class Renderer:
         larger budgets sharpen high-frequency textures at a measured
         speed cost (docs/PERF.md). The XLA backend always samples full
         resolution and ignores this.
+    hw_dataset : optional path to the published Hosek-Wilkie 2012 RGB
+        dataset (ArHosekSkyModelData_RGB.h or equivalent .npz). When
+        given (or WRT_HW_DATASET is set), sky coefficients are cooked
+        exactly like the reference's hw_skymodel crate instead of the
+        built-in Preetham-derived fit (models/hw_dataset.py).
     """
 
     def __init__(self, scene, params: RenderParams, backend: str = "auto",
-                 mesh=None, budget_texels: Optional[int] = None):
+                 mesh=None, budget_texels: Optional[int] = None,
+                 hw_dataset: Optional[str] = None):
         from .utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -137,6 +143,7 @@ class Renderer:
         self._backend_request = backend
         self.mesh = mesh
         self.budget_texels = budget_texels
+        self.hw_dataset = hw_dataset
         self.backend = self._resolve_backend(params)
         self._params = params
         self._progress = RenderProgress()
@@ -192,7 +199,15 @@ class Renderer:
 
     def _derive_device_state(self) -> None:
         self._basis = CameraBasis.create(self._params.camera, self._params.viewport_size)
-        self._sky = to_sky_state(self._params.sky)
+        self._sky = to_sky_state(self._params.sky,
+                                 hw_dataset_path=self.hw_dataset)
+
+    def sky_model(self) -> str:
+        """Which sky model this renderer's frames use (exact Hosek-Wilkie
+        dataset cooking vs the built-in Preetham fit)."""
+        from .models.sky import sky_model_name
+
+        return sky_model_name(self.hw_dataset)
 
     def _padded_height(self) -> int:
         """Image height padded so the tile axis divides the rows evenly
@@ -423,6 +438,11 @@ class Renderer:
         p = self._params
         h.update(repr(p.camera).encode())
         h.update(repr(p.sky).encode())
+        # hash the COOKED sky coefficients too: the same SkyParams cook
+        # to a different estimator under the exact HW dataset vs the
+        # built-in fit (and under different dataset files)
+        h.update(np.asarray(self._sky.params).tobytes())
+        h.update(np.asarray(self._sky.radiances).tobytes())
         h.update(repr(tuple(p.viewport_size)).encode())
         h.update(str(p.sampling.num_bounces).encode())
         # Fingerprint the ESTIMATOR, not the execution engine: the three
