@@ -162,7 +162,7 @@ def main() -> int:
             in_specs=[smem(), smem(), smem(), smem()] + scene_specs
             + lut_specs + [pool_blk()],
             out_specs=out_specs, out_shape=out_shape,
-        )(meta1, jnp.asarray([frame, 0], jnp.uint32), count, sky_vec,
+        )(count, meta1, jnp.asarray([frame, 0], jnp.uint32), sky_vec,
           *s_attrs, *chunk_arrays, *super_arrays, *lut_inputs, cpool)
 
     reps = 3 if quick else 5

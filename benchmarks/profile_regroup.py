@@ -135,7 +135,7 @@ def main() -> int:
             in_specs=[smem(), smem(), smem(), smem()] + scene_specs
             + lut_specs + [pool_blk()],
             out_specs=pool_blk(), out_shape=pool_shape,
-        )(meta1, meta0, count, sky_vec, *s_attrs, *chunk_arrays,
+        )(count, meta1, meta0, sky_vec, *s_attrs, *chunk_arrays,
           *super_arrays, *lut_inputs, cpool)
 
     @jax.jit
@@ -149,22 +149,26 @@ def main() -> int:
             jnp.searchsorted(h0, bases, side="right") - 1, 0
         ).astype(jnp.int32)
 
+    unpack_kern, n_src = rg._make_level_kernel(
+        src_records=True, out8=False, base_records=False)
+    dcount_home = jnp.asarray([n_rows], jnp.int32)
+
     @jax.jit
     def run_unpack(tbl, count_i, inv, pool_i, contrib):
         return pl.pallas_call(
-            rg._unpack_inv_kernel, grid=(n_tiles,),
-            in_specs=[smem(), smem(), inv_blk(),
+            unpack_kern, grid=(n_tiles,),
+            in_specs=[smem(), smem(), smem(), inv_blk(),
                       pl.BlockSpec(memory_space=pl.ANY), contrib_blk()],
             out_specs=contrib_blk(), out_shape=contrib_shape,
             scratch_shapes=[
-                pltpu.VMEM((34, rg.N_COMP, 128), jnp.float32),
+                pltpu.VMEM((34, n_src, 128), jnp.float32),
                 pltpu.VMEM((32, 128), jnp.float32),
                 pltpu.VMEM((32, 128), jnp.float32),
                 pltpu.VMEM((32, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((34,)),
             ],
-            input_output_aliases={4: 0},
-        )(tbl, count_i, inv, pool_i, contrib)
+            input_output_aliases={5: 0},
+        )(dcount_home, tbl, count_i, inv, pool_i, contrib)
 
     # Single-dispatch pipelines (axon tunnel latency is ~200 ms/call, so
     # per-phase dispatch timing is useless): run the pipeline truncated
@@ -231,7 +235,7 @@ def main() -> int:
                 + lut_specs + [pool_blk()],
                 out_specs=(pool_blk(), stats_blk),
                 out_shape=(pool_shape, stats_shape),
-            )(meta1, meta0, count, sky_vec, *s_attrs, *chunk_arrays,
+            )(count, meta1, meta0, sky_vec, *s_attrs, *chunk_arrays,
               *super_arrays, *lut_inputs, cpool)
 
         pool, contrib = run_k0()

@@ -123,7 +123,7 @@ def main() -> int:
         line = {"config": tag, "chunk_size": cs, "n_chunks": nc,
                 "per_ray_entered": round(float(per_ray.mean()), 1),
                 "per_ray_tests": round(float(per_ray.mean()) * cs, 0)}
-        for gsz in (128, 512, 1024, 4096):
+        for gsz in (32, 128, 512, 1024, 4096):
             unions = [ent[i:i + gsz].any(0).sum()
                       for i in range(0, L - gsz + 1, gsz)]
             line[f"tests_u{gsz}"] = round(float(np.mean(unions)) * cs, 0)
@@ -135,6 +135,8 @@ def main() -> int:
     report("home/cs8", 8, None)
     report("chunkxoct/cs8", 8, oc32 * 8 + octant)
     report("chunkxcone/cs8", 8, oc32 * 26 + cone)
+    # transposed-sweep candidate: 128-sphere pages tested by 32-ray groups
+    report("home/cs128", 128, None)
     return 0
 
 

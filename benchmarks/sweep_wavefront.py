@@ -101,11 +101,13 @@ def main() -> int:
             k0c = int(k0c) if k0c else None
             k1t = int(os.environ.get("WRT_K1_TSUB", "32"))
             sf = int(os.environ.get("WRT_SUPER", "16"))
-            bench(f"regroup{cuts}:c{k0c}:k1c{k1c}:t{k1t}:sf{sf}",
+            k1s = int(os.environ.get("WRT_K1_SUB", "0"))
+            bench(f"regroup{cuts}:c{k0c}:k1c{k1c}:t{k1t}:sf{sf}:sub{k1s}",
                   jax.jit(partial(
                       render_image_regrouped, width=w, height=h, spp=spp,
                       num_bounces=bounces, cuts=cuts, chunk_size=k0c,
-                      k1_chunk_size=k1c, k1_tsub=k1t, super_factor=sf),
+                      k1_chunk_size=k1c, k1_tsub=k1t, super_factor=sf,
+                      k1_subcull=k1s),
                       donate_argnums=(0,)))
         else:
             bench(f"wavefront{cuts}", jax.jit(partial(

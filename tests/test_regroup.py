@@ -185,3 +185,17 @@ def test_frustum_lists_exclude_far_padding():
         listed = set(flist[t, 1:1 + cnt].tolist())
         assert 1 not in listed, "far padding chunk must never be listed"
         assert 2 not in listed, "beyond-MAX_T chunk must never be listed"
+
+
+def test_subcull_bit_identical(rtiow):
+    """k1_subcull refines culling below the whole-tile chunk test with
+    per-(subcull,128) sub-block slab tests; a skipped sub-block is one no
+    ray of which can hit the chunk within its best-t, so results are
+    bit-identical to the unsubbed sweep (docs/PERF.md round-3)."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=6)
+    ref = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
+                                            cuts=(2,), **kw))
+    sub = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
+                                            cuts=(2,), k1_subcull=8, **kw))
+    np.testing.assert_array_equal(sub, ref)

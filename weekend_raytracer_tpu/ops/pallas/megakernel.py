@@ -295,7 +295,7 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                  n_chunks, super_factor, n_super, n_spheres,
                  stats: bool = False, tex_pool_ref=None, frustum_ref=None,
                  frustum_row=None, retr_lut_ref=None, lut_rows: int = 0,
-                 export_hit: bool = False):
+                 export_hit: bool = False, subcull: int = 0):
     """Build the (cond, body) pair for the per-bounce physics while_loop.
 
     One bounce = culled closest-hit sweep + winner-attribute retrieval +
@@ -314,6 +314,14 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
     (updated on scattering bounces; exact in f32): the ray-binning key of
     the regrouped wavefront's per-ray-group traversal (docs/PERF.md
     round-3 plan).
+
+    subcull > 0 refines the cull hierarchy below the whole-tile chunk
+    test: a chunk whose tile-level test passes is swept per (subcull,
+    128) row sub-block, each under its own any-lane slab test —
+    divergent tiles then pay only for the sub-blocks that can actually
+    see the chunk (union(1024) vs union(4096), docs/PERF.md round-3
+    sims). Results are bit-identical: a skipped sub-block is one no ray
+    of which can hit the chunk within its current best-t.
     """
     n_fixed = 16 if export_hit else 15
     textures = tex_pool_ref is not None
@@ -460,16 +468,17 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
         inv_dy = 1.0 / (sgn_y * jnp.maximum(jnp.abs(dy), eps_d))
         inv_dz = 1.0 / (sgn_z * jnp.maximum(jnp.abs(dz), eps_d))
 
-        def bound_possible(bt, lox_, loy_, loz_, hix_, hiy_, hiz_):
-            """Can any live lane's ray enter this AABB closer than its
-            current best-t? Standard slab test with min/max swap folded
-            into the signed inverse direction."""
-            tx0 = (lox_ - ox) * inv_dx
-            tx1 = (hix_ - ox) * inv_dx
-            ty0 = (loy_ - oy) * inv_dy
-            ty1 = (hiy_ - oy) * inv_dy
-            tz0 = (loz_ - oz) * inv_dz
-            tz1 = (hiz_ - oz) * inv_dz
+        def slab_hit(bt, oxs, oys, ozs, ixs, iys, izs, als,
+                     lox_, loy_, loz_, hix_, hiy_, hiz_):
+            """Can any live lane of this row span enter the AABB closer
+            than its current best-t? Standard slab test with min/max swap
+            folded into the signed inverse direction."""
+            tx0 = (lox_ - oxs) * ixs
+            tx1 = (hix_ - oxs) * ixs
+            ty0 = (loy_ - oys) * iys
+            ty1 = (hiy_ - oys) * iys
+            tz0 = (loz_ - ozs) * izs
+            tz1 = (hiz_ - ozs) * izs
             tnear = jnp.maximum(
                 jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
                 jnp.minimum(tz0, tz1),
@@ -479,8 +488,15 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                 jnp.maximum(tz0, tz1),
             )
             return jnp.any(
-                alive & (tfar >= tnear) & (tfar > MIN_T) & (tnear < bt)
+                als & (tfar >= tnear) & (tfar > MIN_T) & (tnear < bt)
             )
+
+        def bound_possible(bt, lox_, loy_, loz_, hix_, hiy_, hiz_):
+            return slab_hit(bt, ox, oy, oz, inv_dx, inv_dy, inv_dz, alive,
+                            lox_, loy_, loz_, hix_, hiy_, hiz_)
+
+        S = ox.shape[0]
+        use_sub = subcull > 0 and S > subcull and S % subcull == 0
 
         if culling:
             # seed best-t from the largest spheres before any cull test
@@ -494,7 +510,30 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
 
         def chunk_body(c, carry):
             def taken(cr):
-                cr = sweep_span_tree(c * chunk_size, chunk_size, cr)
+                if use_sub:
+                    # per-sub-block slab tests + sub-block sweeps: only
+                    # row spans that can see the chunk pay for it
+                    new_bt, new_bi = [], []
+                    for k in range(S // subcull):
+                        sl = slice(k * subcull, (k + 1) * subcull)
+                        sub = tuple(v[sl] for v in cr[:10])
+                        sub_pos = slab_hit(
+                            sub[0], sub[2], sub[3], sub[4],
+                            inv_dx[sl], inv_dy[sl], inv_dz[sl], alive[sl],
+                            clox[c], cloy[c], cloz[c],
+                            chix[c], chiy[c], chiz[c])
+                        sub = jax.lax.cond(
+                            sub_pos,
+                            lambda sc: sweep_span_tree(
+                                c * chunk_size, chunk_size, sc),
+                            lambda sc: sc,
+                            sub)
+                        new_bt.append(sub[0])
+                        new_bi.append(sub[1])
+                    cr = (jnp.concatenate(new_bt, 0),
+                          jnp.concatenate(new_bi, 0)) + cr[2:]
+                else:
+                    cr = sweep_span_tree(c * chunk_size, chunk_size, cr)
                 return _inc(cr, -2) if stats else cr
 
             return jax.lax.cond(
@@ -830,7 +869,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  block_w: int, tiles_x: int, super_factor: int,
                  n_super: int, full_height: int, stats: bool = False,
                  textures: bool = False, retr: bool = False,
-                 lut_rows: int = 0):
+                 lut_rows: int = 0, subcull: int = 0):
     """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
     (ops/bvh.py): whole-tile AABB slab tests skip chunk bodies (and, for
     big scenes, whole super-chunks of chunks).
@@ -894,7 +933,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             num_bounces=num_bounces, chunk_size=chunk_size,
             n_chunks=n_chunks, super_factor=super_factor, n_super=n_super,
             n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
-            retr_lut_ref=retr_lut_ref, lut_rows=lut_rows,
+            retr_lut_ref=retr_lut_ref, lut_rows=lut_rows, subcull=subcull,
         )
 
         inv_w = f32(1.0 / width)
@@ -1181,7 +1220,7 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "tsub",
                      "chunk_size", "block_w", "super_factor", "full_height",
-                     "interpret", "stats", "budget_texels"),
+                     "interpret", "stats", "budget_texels", "subcull"),
 )
 def render_image_pallas(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -1204,6 +1243,7 @@ def render_image_pallas(
     interpret: bool | None = None,
     stats: bool = False,
     budget_texels: int = DEFAULT_TEXTURE_BUDGET,
+    subcull: int = 0,
 ) -> jnp.ndarray:
     """One progressive frame via the fused megakernel; drop-in for
     ops.tracer.render_image. Image textures are sampled in-kernel from a
@@ -1268,7 +1308,7 @@ def render_image_pallas(
                           chunk_size, n_chunks, block_w, tiles_x,
                           super_factor, n_super, full_height, stats=stats,
                           retr=retr, lut_rows=lut_rows,
-                          textures=textures)
+                          textures=textures, subcull=subcull)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     acc_spec = pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)

@@ -387,7 +387,7 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
              width, height, spp, tiles_x, block_w, spp_shift,
              textures=False, stats=False, tsub1=32, retr=False,
-             lut_rows=0):
+             lut_rows=0, subcull=0):
     # frame_ref is [frame, row_offset] u32: home slots are shard-local,
     # but RNG seeds derive from GLOBAL pixel ids (see _make_k0).
     """Resume bounces [b_lo, b_hi) over the dense pool (1:1 rows).
@@ -399,7 +399,8 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
     f32 = jnp.float32
     n_attr = 19 if textures else 13
 
-    def kernel(meta_ref, frame_ref, count_ref, sky_ref, *refs):
+    def kernel(count_ref, meta_ref, frame_ref, sky_ref, *refs):
+        # count rides scalar prefetch (clamped block maps skip dead tiles)
         scene = refs[0:n_attr]
         bounds = refs[n_attr:n_attr + 7]
         supers = refs[n_attr + 7:n_attr + 13]
@@ -430,6 +431,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                 super_factor=super_factor, n_super=n_super,
                 n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
                 retr_lut_ref=retr_lut_ref, lut_rows=lut_rows,
+                subcull=subcull,
             )
 
             # The tile is processed in independent (tsub1, 128) sub-blocks,
@@ -515,150 +517,108 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
     return kernel
 
 
-def _unpack_inv_kernel(tbl_ref, count_ref, inv_ref, cpool_hbm, contrib_in,
-                       contrib_out, win, rb0, rb1, rb2, sems):
-    """Scatter pool contributions home through the pack's inverse map:
-    every destination lane knows its record's exact dense (row, lane), so
-    no binary search is needed — one lane-gather per candidate window row.
-    A destination row's records occupy consecutive dense indices, so they
-    span at most two pool rows, starting at the row's _INV_FIRST."""
-    t = pl.program_id(0)
-    count = count_ref[0]
-    start = tbl_ref[t]
-    end = jnp.minimum(tbl_ref[t + 1], count - 1)
-    nwin = jnp.maximum(end - start + 1, 0)
+def _make_level_kernel(src_records: bool, out8: bool, base_records: bool):
+    """One reverse-combine level (see render_image_regrouped's COMBINE).
 
-    for w in range(34):
-        @pl.when(w < nwin)
-        def _(w=w):
-            r = start + w
-            pltpu.make_async_copy(
-                cpool_hbm.at[r // 32, :, r % 32],
-                win.at[w],
-                sems.at[w],
-            ).start()
-    for w in range(34):
-        @pl.when(w < nwin)
-        def _(w=w):
-            r = start + w
-            pltpu.make_async_copy(
-                cpool_hbm.at[r // 32, :, r % 32],
-                win.at[w],
-                sems.at[w],
-            ).wait()
+    Variants: the LAST phase's level gathers radiance straight from its
+    16-comp record pool (src_records=True, r = tr*cr); upper levels
+    gather from the previous level's 8-comp R pool. Intermediate levels
+    output an 8-comp R pool (out8) and read their base radiance from the
+    destination-space record pool block (base_records); the final home
+    level outputs the 3-comp contribution image over the K0 base.
 
-    rowbufs = (rb0, rb1, rb2)
-    for ch in range(3):
-        rowbufs[ch][:] = contrib_in[0, ch]
+    The grid runs under a scalar-prefetched dest-row count with CLAMPED
+    block index maps: grid steps past the live destination tiles revisit
+    the last live block and are fully skipped, so dead tiles cost no
+    block DMA and no writeback of garbage."""
+    n_src = N_COMP if src_records else 8
 
-    @pl.when(nwin > 0)
-    def _():
-        def body(j, _):
-            first = inv_ref[0, _INV_FIRST, j, 0].astype(jnp.int32)
-            a = jnp.clip(first - start, 0, 33)
-            prow_f = inv_ref[0, _INV_ROW, pl.ds(j, 1), :]
-            lidx = inv_ref[0, _INV_LANE, pl.ds(j, 1), :].astype(jnp.int32)
-            prow = prow_f.astype(jnp.int32)
-            off = prow - (start + a)
-            use_b = off == 1
-            live = (prow_f < _DEAD_ROW) & ((off == 0) | use_b)
-            # gather component rows _TR.._CB (+2 pad) from both candidates
-            blk_a = win[pl.ds(a, 1)][0][_TR:_TR + 8]
-            blk_b = win[pl.ds(jnp.minimum(a + 1, 33), 1)][0][_TR:_TR + 8]
-            idx8 = jnp.broadcast_to(lidx, (8, 128))
-            va = jnp.take_along_axis(blk_a, idx8, axis=1)
-            vb = jnp.take_along_axis(blk_b, idx8, axis=1)
+    def kernel(dcount_ref, tbl_ref, count_ref, inv_ref, src_hbm,
+               base_in, out_ref, win, rb0, rb1, rb2, sems):
+        t = pl.program_id(0)
+
+        @pl.when(t * 32 < dcount_ref[0])
+        def _():
+            count = count_ref[0]
+            start = tbl_ref[t]
+            end = jnp.minimum(tbl_ref[t + 1], count - 1)
+            nwin = jnp.maximum(end - start + 1, 0)
+
+            for w in range(34):
+                @pl.when(w < nwin)
+                def _(w=w):
+                    r = start + w
+                    pltpu.make_async_copy(
+                        src_hbm.at[r // 32, :, r % 32],
+                        win.at[w],
+                        sems.at[w],
+                    ).start()
+            for w in range(34):
+                @pl.when(w < nwin)
+                def _(w=w):
+                    r = start + w
+                    pltpu.make_async_copy(
+                        src_hbm.at[r // 32, :, r % 32],
+                        win.at[w],
+                        sems.at[w],
+                    ).wait()
+
+            rowbufs = (rb0, rb1, rb2)
             for ch in range(3):
-                ra = va[ch:ch + 1] * va[ch + 3:ch + 4]
-                rb = vb[ch:ch + 1] * vb[ch + 3:ch + 4]
-                cur = rowbufs[ch][pl.ds(j, 1), :]
-                rowbufs[ch][pl.ds(j, 1), :] = jnp.where(
-                    live, jnp.where(use_b, rb, ra), cur)
-            return 0
+                if base_records:
+                    rowbufs[ch][:] = (base_in[0, _TR + ch]
+                                      * base_in[0, _CR + ch])
+                else:
+                    rowbufs[ch][:] = base_in[0, ch]
 
-        jax.lax.fori_loop(0, 32, body, 0)
+            @pl.when(nwin > 0)
+            def _():
+                def body(j, _):
+                    first = inv_ref[0, _INV_FIRST, j, 0].astype(jnp.int32)
+                    a = jnp.clip(first - start, 0, 33)
+                    prow_f = inv_ref[0, _INV_ROW, pl.ds(j, 1), :]
+                    lidx = inv_ref[0, _INV_LANE, pl.ds(j, 1), :].astype(
+                        jnp.int32)
+                    prow = prow_f.astype(jnp.int32)
+                    off = prow - (start + a)
+                    use_b = off == 1
+                    live = (prow_f < _DEAD_ROW) & ((off == 0) | use_b)
+                    if src_records:
+                        blk_a = win[pl.ds(a, 1)][0][_TR:_TR + 8]
+                        blk_b = win[pl.ds(jnp.minimum(a + 1, 33), 1)][0][
+                            _TR:_TR + 8]
+                    else:
+                        blk_a = win[pl.ds(a, 1)][0]
+                        blk_b = win[pl.ds(jnp.minimum(a + 1, 33), 1)][0]
+                    idx8 = jnp.broadcast_to(lidx, (8, 128))
+                    va = jnp.take_along_axis(blk_a, idx8, axis=1)
+                    vb = jnp.take_along_axis(blk_b, idx8, axis=1)
+                    for ch in range(3):
+                        if src_records:
+                            ra = va[ch:ch + 1] * va[ch + 3:ch + 4]
+                            rb = vb[ch:ch + 1] * vb[ch + 3:ch + 4]
+                        else:
+                            ra = va[ch:ch + 1]
+                            rb = vb[ch:ch + 1]
+                        cur = rowbufs[ch][pl.ds(j, 1), :]
+                        rowbufs[ch][pl.ds(j, 1), :] = jnp.where(
+                            live, jnp.where(use_b, rb, ra), cur)
+                    return 0
 
-    for ch in range(3):
-        contrib_out[0, ch] = rowbufs[ch][:]
+                jax.lax.fori_loop(0, 32, body, 0)
 
-
-def _unpack_radiance_kernel(tbl_ref, count_ref, inv_ref, rpool_hbm,
-                            base_in, contrib_out, win, rb0, rb1, rb2,
-                            sems):
-    """Compose one regrouping level of the reverse combine.
-
-    For every destination slot (a position in the previous phase's pool,
-    or a home slot at the final level), fetch the downstream radiance of
-    its record through that phase's inverse map; slots whose record was
-    NOT repacked (the path terminated in the previous phase, or inside
-    K0 at the final level) keep ``base_in``. Dest rows ride the same
-    <=2-candidate-row gather as _unpack_inv_kernel — stable packs keep
-    the map monotone with consecutive dense destinations — but windows
-    carry only the 8-comp radiance pool rows, not full records."""
-    t = pl.program_id(0)
-    count = count_ref[0]
-    start = tbl_ref[t]
-    end = jnp.minimum(tbl_ref[t + 1], count - 1)
-    nwin = jnp.maximum(end - start + 1, 0)
-
-    for w in range(34):
-        @pl.when(w < nwin)
-        def _(w=w):
-            r = start + w
-            pltpu.make_async_copy(
-                rpool_hbm.at[r // 32, :, r % 32],
-                win.at[w],
-                sems.at[w],
-            ).start()
-    for w in range(34):
-        @pl.when(w < nwin)
-        def _(w=w):
-            r = start + w
-            pltpu.make_async_copy(
-                rpool_hbm.at[r // 32, :, r % 32],
-                win.at[w],
-                sems.at[w],
-            ).wait()
-
-    rowbufs = (rb0, rb1, rb2)
-    for ch in range(3):
-        rowbufs[ch][:] = base_in[0, ch]
-
-    @pl.when(nwin > 0)
-    def _():
-        def body(j, _):
-            first = inv_ref[0, _INV_FIRST, j, 0].astype(jnp.int32)
-            a = jnp.clip(first - start, 0, 33)
-            prow_f = inv_ref[0, _INV_ROW, pl.ds(j, 1), :]
-            lidx = inv_ref[0, _INV_LANE, pl.ds(j, 1), :].astype(jnp.int32)
-            prow = prow_f.astype(jnp.int32)
-            off = prow - (start + a)
-            use_b = off == 1
-            live = (prow_f < _DEAD_ROW) & ((off == 0) | use_b)
-            blk_a = win[pl.ds(a, 1)][0]
-            blk_b = win[pl.ds(jnp.minimum(a + 1, 33), 1)][0]
-            idx8 = jnp.broadcast_to(lidx, (8, 128))
-            va = jnp.take_along_axis(blk_a, idx8, axis=1)
-            vb = jnp.take_along_axis(blk_b, idx8, axis=1)
             for ch in range(3):
-                cur = rowbufs[ch][pl.ds(j, 1), :]
-                rowbufs[ch][pl.ds(j, 1), :] = jnp.where(
-                    live, jnp.where(use_b, vb[ch:ch + 1], va[ch:ch + 1]),
-                    cur)
-            return 0
+                out_ref[0, ch] = rowbufs[ch][:]
 
-        jax.lax.fori_loop(0, 32, body, 0)
-
-    for ch in range(3):
-        contrib_out[0, ch] = rowbufs[ch][:]
+    return kernel, n_src
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
                      "super_factor", "cuts", "k1_chunk_size", "k1_tsub",
-                     "full_height", "interpret", "debug_counts",
-                     "budget_texels"),
+                     "k1_subcull", "full_height", "interpret",
+                     "debug_counts", "budget_texels"),
 )
 def render_image_regrouped(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -677,6 +637,7 @@ def render_image_regrouped(
     cuts: tuple = (2,),
     k1_chunk_size: int | None = None,
     k1_tsub: int = 32,
+    k1_subcull: int = 0,
     row_offset: jnp.ndarray | int = 0,
     full_height: int | None = None,
     interpret: bool | None = None,
@@ -804,6 +765,23 @@ def render_image_regrouped(
       *pool_inputs, *fr_inputs)
 
     count = jnp.asarray([n_rows], jnp.int32)
+
+    def live_tiles(c_ref):
+        # last live tile index for clamped block maps (>=0 even at c=0)
+        return jnp.maximum((c_ref[0] + 31) // 32 - 1, 0)
+
+    def pool_blk_c():
+        return pl.BlockSpec((1, N_COMP, 32, 128),
+                            lambda i, c: (jnp.minimum(i, live_tiles(c)),
+                                          0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def inv_blk_c():
+        return pl.BlockSpec((1, N_INV, 32, 128),
+                            lambda i, c: (jnp.minimum(i, live_tiles(c)),
+                                          0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     inv_blk = lambda: pl.BlockSpec((1, N_INV, 32, 128),
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
@@ -814,37 +792,43 @@ def render_image_regrouped(
         # --- PACK: dense lane-granular compaction. EVERY phase emits its
         # inverse map (input-slot -> dense position); the reverse combine
         # composes them, so later pools need no home-sortedness and no
-        # binary-search unpack. ---
+        # binary-search unpack. The input-row count rides scalar prefetch:
+        # grid steps past the live input tiles revisit the last live
+        # block (no dead-tile DMA). ---
         dest_count = count  # rows of this pack's input space
         packed = pl.pallas_call(
             _pack_kernel,
-            grid=(n_tiles,),
-            in_specs=[smem(), pool_blk()],
-            out_specs=(pl.BlockSpec(memory_space=pl.ANY), inv_blk(),
-                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[pool_blk_c()],
+                out_specs=(pl.BlockSpec(memory_space=pl.ANY), inv_blk_c(),
+                           pl.BlockSpec(memory_space=pltpu.SMEM)),
+                scratch_shapes=[
+                    pltpu.VMEM((N_COMP, 32, 128), jnp.float32),  # pscratch
+                    pltpu.VMEM((32, 128), jnp.float32),          # counts
+                    pltpu.VMEM((N_COMP, 128), jnp.float32),      # acc carry
+                    pltpu.VMEM((34, N_COMP, 128), jnp.float32),  # staging
+                    pltpu.SMEM((1,), jnp.int32),                 # fill
+                    pltpu.SMEM((1,), jnp.int32),                 # counter
+                    pltpu.SemaphoreType.DMA((33,)),
+                ],
+            ),
             out_shape=(pool_shape, inv_shape,
                        jax.ShapeDtypeStruct((1,), jnp.int32)),
-            scratch_shapes=[
-                pltpu.VMEM((N_COMP, 32, 128), jnp.float32),  # pscratch
-                pltpu.VMEM((32, 128), jnp.float32),          # counts
-                pltpu.VMEM((N_COMP, 128), jnp.float32),      # acc carry
-                pltpu.VMEM((34, N_COMP, 128), jnp.float32),  # staging
-                pltpu.SMEM((1,), jnp.int32),                 # fill
-                pltpu.SMEM((1,), jnp.int32),                 # counter
-                pltpu.SemaphoreType.DMA((33,)),
-            ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(count, pool)
         cpool, inv, count = packed
 
-        # --- K1: resume bounces on dense tiles ---
+        # --- K1: resume bounces on dense tiles (same clamped maps) ---
         b_hi = cuts[pi + 1] if pi + 1 < len(cuts) else num_bounces
         if k1 is None:
             k1 = _make_k1(n_sph1, k1_chunk_size, n_chunks1, super_factor,
                           n_super1, width, height, spp, tiles_x, block_w,
                           spp_shift, textures=textures, tsub1=k1_tsub,
-                          retr=retr1, lut_rows=lut_rows1)
+                          retr=retr1, lut_rows=lut_rows1,
+                          subcull=k1_subcull)
             pool_inputs1 = [tex_pool1] if textures else []
             if retr1:
                 pool_inputs1.append(retr_lut1)
@@ -853,13 +837,16 @@ def render_image_regrouped(
         meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
         pool = pl.pallas_call(
             k1,
-            grid=(n_tiles,),
-            in_specs=[smem(), smem(), smem(), smem()] + scene_specs
-            + pool_specs1 + [pool_blk()],
-            out_specs=pool_blk(),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[smem(), smem(), smem()] + scene_specs
+                + pool_specs1 + [pool_blk_c()],
+                out_specs=pool_blk_c(),
+            ),
             out_shape=pool_shape,
             interpret=interpret,
-        )(meta1, meta0, count, sky_vec, *s_attrs1, *chunk_arrays1,
+        )(count, meta1, meta0, sky_vec, *s_attrs1, *chunk_arrays1,
           *super_arrays1, *pool_inputs1, cpool)
         phases.append((pool, count, inv, dest_count))
 
@@ -867,51 +854,66 @@ def render_image_regrouped(
     # compute R_i[p] = the final radiance of the path whose record sits at
     # position p of phase i's pool — its own tr*cr if it terminated there,
     # else R_{i+1} gathered through phase i+1's inverse map. The final
-    # level lands R_0 on home slots over the K0 contribution image. Each
-    # level is one _unpack_radiance_kernel pass whose windows carry only
-    # 8-comp radiance rows; stable packs keep every map's destinations
-    # consecutive, so the <=2-candidate-row gather applies at every level.
-    def radiance3(pool_i):
-        return pool_i[:, _TR:_TR + 3] * pool_i[:, _CR:_CR + 3]
+    # level lands R_0 on home slots over the K0 contribution image. The
+    # last phase's level gathers straight from its record pool; upper
+    # levels gather from the level below's 8-comp R pool; intermediate
+    # levels read their base radiance from the destination record pool
+    # block in-kernel (no XLA radiance materialization on any path).
+    r8_shape = jax.ShapeDtypeStruct((n_tiles, 8, 32, 128), jnp.float32)
+    r8_blk_c = lambda: pl.BlockSpec(
+        (1, 8, 32, 128),
+        lambda i, c: (jnp.minimum(i, live_tiles(c)), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    contrib_blk_c = lambda: pl.BlockSpec(
+        (1, 3, 32, 128),
+        lambda i, c: (jnp.minimum(i, live_tiles(c)), 0, 0, 0),
+        memory_space=pltpu.VMEM)
 
-    def pad8(r3):
-        return jnp.concatenate(
-            [r3, jnp.zeros((n_tiles, 5, 32, 128), jnp.float32)], axis=1)
-
-    def combine_level(inv_i, src_count, dest_count, rpool8, base3):
-        tiles_live = (jnp.arange(n_tiles, dtype=jnp.int32) * 32
-                      < dest_count[0])
+    def combine_level(inv_i, src_count, dest_count, src_pool, base,
+                      src_records, out8, base_records, alias_base):
+        tiles_alive = (jnp.arange(n_tiles, dtype=jnp.int32) * 32
+                       < dest_count[0])
         tbl_raw = inv_i[:, _INV_FIRST, 0, 0].astype(jnp.int32)
-        tbl = jnp.where(tiles_live, tbl_raw, src_count[0])
+        tbl = jnp.where(tiles_alive, tbl_raw, src_count[0])
         tbl = jnp.clip(tbl, 0, jnp.maximum(src_count[0] - 1, 0))
         tbl = jnp.concatenate([tbl, src_count])
+        kern, n_src = _make_level_kernel(src_records, out8, base_records)
+        base_spec = pool_blk_c() if base_records else contrib_blk_c()
         return pl.pallas_call(
-            _unpack_radiance_kernel,
-            grid=(n_tiles,),
-            in_specs=[smem(), smem(), inv_blk(),
-                      pl.BlockSpec(memory_space=pl.ANY),
-                      contrib_blk()],
-            out_specs=contrib_blk(),
-            out_shape=contrib_shape,
-            scratch_shapes=[
-                pltpu.VMEM((34, 8, 128), jnp.float32),
-                pltpu.VMEM((32, 128), jnp.float32),
-                pltpu.VMEM((32, 128), jnp.float32),
-                pltpu.VMEM((32, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((34,)),
-            ],
-            input_output_aliases={4: 0},
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[smem(), smem(), inv_blk_c(),
+                          pl.BlockSpec(memory_space=pl.ANY),
+                          base_spec],
+                out_specs=r8_blk_c() if out8 else contrib_blk_c(),
+                scratch_shapes=[
+                    pltpu.VMEM((34, n_src, 128), jnp.float32),
+                    pltpu.VMEM((32, 128), jnp.float32),
+                    pltpu.VMEM((32, 128), jnp.float32),
+                    pltpu.VMEM((32, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((34,)),
+                ],
+            ),
+            out_shape=r8_shape if out8 else contrib_shape,
+            input_output_aliases={5: 0} if alias_base else {},
             interpret=interpret,
-        )(tbl, src_count, inv_i, rpool8, base3)
+        )(dest_count, tbl, src_count, inv_i, src_pool, base)
 
-    r3 = radiance3(phases[-1][0])
+    src = phases[-1][0]
+    src_records = True
     for pi in range(len(phases) - 1, 0, -1):
-        pool_prev, count_prev = phases[pi - 1][0], phases[pi - 1][1]
+        pool_prev = phases[pi - 1][0]
         _, src_count, inv_i, dc = phases[pi]
-        r3 = combine_level(inv_i, src_count, dc, pad8(r3),
-                           radiance3(pool_prev))
+        src = combine_level(inv_i, src_count, dc, src, pool_prev,
+                            src_records=src_records, out8=True,
+                            base_records=True, alias_base=False)
+        src_records = False
     contrib = combine_level(phases[0][2], phases[0][1], phases[0][3],
-                            pad8(r3), contrib)
+                            src, contrib, src_records=src_records,
+                            out8=False, base_records=False,
+                            alias_base=True)
 
     # --- contributions -> scanline pixel image (pure reshape/transpose) ---
     tiles_y = hp // 32
