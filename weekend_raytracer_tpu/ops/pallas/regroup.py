@@ -101,6 +101,16 @@ def _sample_seed(pix_u32, frame_hash, smp):
     return _jenkins(pix_u32 ^ frame_hash ^ mix)
 
 
+def default_cuts(num_bounces: int) -> tuple:
+    """Measured-best recompaction schedule (docs/PERF.md round 3): cuts
+    at bounces 3/5/6 clipped to the bounce budget — RTiOW-1080p 500.6 ->
+    532.0 Mrays/s and random10k 136.6 -> 152.8 vs the single cut, all
+    bit-identical (later cuts became cheap once every phase's inverse
+    map composes and dead tiles stopped paying block DMA)."""
+    cuts = tuple(c for c in (3, 5, 6) if c < num_bounces)
+    return cuts or (num_bounces - 1,)
+
+
 def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
              super_factor, n_super, tiles_x, block_w, spp_shift,
              textures=False, frustum=False, full_height=None,

@@ -141,14 +141,17 @@ def render_image_sharded(
         # Decorrelate sample shards: injective (frame, shard) -> seed frame.
         seed_frame = frame * jnp.uint32(n_spp) + spp_idx.astype(jnp.uint32)
         if backend == "regroup":
-            from ..ops.pallas.regroup import render_image_regrouped
+            from ..ops.pallas.regroup import (
+                default_cuts,
+                render_image_regrouped,
+            )
 
             contrib = render_image_regrouped(
                 jnp.zeros_like(accum_blk), seed_frame, jnp.bool_(True),
                 scene, sky, basis,
                 width=width, height=block_rows, spp=local_spp,
                 num_bounces=num_bounces,
-                cuts=(min(3, num_bounces - 1),),
+                cuts=default_cuts(num_bounces),
                 row_offset=(tile_idx * block_rows).astype(jnp.uint32),
                 full_height=aim_height,
                 budget_texels=budget_texels,

@@ -283,17 +283,18 @@ class Renderer:
                     budget_texels=self.budget_texels,
                 )
             elif self.backend == "regroup":
-                from .ops.pallas.regroup import render_image_regrouped
+                from .ops.pallas.regroup import (
+                    default_cuts,
+                    render_image_regrouped,
+                )
 
-                # cut at bounce 3 (best measured on RTiOW-1080p,
-                # docs/PERF.md); clamp into the valid (0, bounces) range
                 fn = partial(
                     render_image_regrouped,
                     width=w,
                     height=h,
                     spp=spp,
                     num_bounces=bounces,
-                    cuts=(min(3, bounces - 1),),
+                    cuts=default_cuts(bounces),
                     **bt,
                 )
             elif self.backend == "wavefront":
