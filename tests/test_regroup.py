@@ -199,3 +199,19 @@ def test_subcull_bit_identical(rtiow):
     sub = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
                                             cuts=(2,), k1_subcull=8, **kw))
     np.testing.assert_array_equal(sub, ref)
+
+
+def test_listed_sweep_bit_identical(rtiow):
+    """listed=True swaps the per-chunk lax.cond sweep for the branchless
+    chunk-list form (unconditional slab tests + SMEM list append +
+    dynamic-trip fori). A chunk the cond form skips has tnear >= best-t
+    for every live ray, so the strict-< merge can never pick its spheres:
+    results are bit-identical. (Measured slower on chip — docs/PERF.md
+    round 3 — so it's a non-default knob.)"""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=6)
+    ref = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
+                                            cuts=(2,), **kw))
+    lst = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
+                                            cuts=(2,), listed=True, **kw))
+    np.testing.assert_array_equal(lst, ref)

@@ -295,7 +295,8 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                  n_chunks, super_factor, n_super, n_spheres,
                  stats: bool = False, tex_pool_ref=None, frustum_ref=None,
                  frustum_row=None, retr_lut_ref=None, lut_rows: int = 0,
-                 export_hit: bool = False, subcull: int = 0):
+                 export_hit: bool = False, subcull: int = 0,
+                 chunk_list_ref=None, list_groups: int = 4):
     """Build the (cond, body) pair for the per-bounce physics while_loop.
 
     One bounce = culled closest-hit sweep + winner-attribute retrieval +
@@ -322,6 +323,18 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
     see the chunk (union(1024) vs union(4096), docs/PERF.md round-3
     sims). Results are bit-identical: a skipped sub-block is one no ray
     of which can hit the chunk within its current best-t.
+
+    chunk_list_ref (an SMEM (n_chunks,) i32 scratch) switches the culled
+    sweep to the BRANCHLESS LISTED form: every chunk's any-lane slab
+    test runs unconditionally (~11 VPU ops), entered ids are appended to
+    the list with a branchless cursor (list[cursor] = c; cursor +=
+    enter), and one dynamic-trip fori sweeps the list — replacing the
+    per-chunk lax.cond whose ~90-cycle overhead dominates big-scene
+    culling (docs/PERF.md round 3). Chunks are tested in list_groups
+    front-to-back groups so best-t tightened by earlier groups still
+    prunes later ones. Results are bit-identical: a chunk the cond form
+    skips has tnear >= current best-t for every live ray, so its spheres
+    (inside the AABB, hence t >= tnear) can never win the strict-< merge.
     """
     n_fixed = 16 if export_hit else 15
     textures = tex_pool_ref is not None
@@ -544,7 +557,40 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                 carry,
             )
 
-        if two_level:
+        if chunk_list_ref is not None and culling:
+            def full_sweep(carry0):
+                n_groups = list_groups if n_chunks >= 4 * list_groups else 1
+                gsz = -(-n_chunks // n_groups)
+                cr = carry0
+                for g in range(n_groups):
+                    c_lo = g * gsz
+                    c_hi = min((g + 1) * gsz, n_chunks)
+                    if c_lo >= c_hi:
+                        continue
+                    bt0 = cr[0]
+
+                    def test_body(c, cursor, bt0=bt0):
+                        enter = bound_possible(
+                            bt0, clox[c], cloy[c], cloz[c],
+                            chix[c], chiy[c], chiz[c])
+                        chunk_list_ref[cursor] = c
+                        return cursor + enter.astype(jnp.int32)
+
+                    cursor = jax.lax.fori_loop(
+                        c_lo, c_hi, test_body, jnp.int32(0))
+
+                    def sweep_body(j, cr2):
+                        c = chunk_list_ref[j]
+                        return sweep_span_tree(c * chunk_size, chunk_size,
+                                               cr2)
+
+                    cr = jax.lax.fori_loop(0, cursor, sweep_body, cr)
+                    if stats:
+                        lst = list(cr)
+                        lst[-2] = lst[-2] + cursor
+                        cr = tuple(lst)
+                return cr
+        elif two_level:
             def super_body(sc, carry):
                 def taken(cr):
                     if stats:
@@ -869,7 +915,8 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  block_w: int, tiles_x: int, super_factor: int,
                  n_super: int, full_height: int, stats: bool = False,
                  textures: bool = False, retr: bool = False,
-                 lut_rows: int = 0, subcull: int = 0):
+                 lut_rows: int = 0, subcull: int = 0,
+                 listed: bool = False):
     """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
     (ops/bvh.py): whole-tile AABB slab tests skip chunk bodies (and, for
     big scenes, whole super-chunks of chunks).
@@ -900,6 +947,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             retr_lut_ref = None
         acc_in, acc_out = rest[0], rest[1]
         maybe_stats_ref = rest[2:]
+        list_ref = rest[-1] if listed else None
         t = pl.program_id(0)
         frame = meta_ref[0]  # uint32 scalar
         clear = meta_ref[1] == jnp.uint32(1)
@@ -934,6 +982,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             n_chunks=n_chunks, super_factor=super_factor, n_super=n_super,
             n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
             retr_lut_ref=retr_lut_ref, lut_rows=lut_rows, subcull=subcull,
+            chunk_list_ref=list_ref,
         )
 
         inv_w = f32(1.0 / width)
@@ -1220,7 +1269,8 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "tsub",
                      "chunk_size", "block_w", "super_factor", "full_height",
-                     "interpret", "stats", "budget_texels", "subcull"),
+                     "interpret", "stats", "budget_texels", "subcull",
+                     "listed"),
 )
 def render_image_pallas(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -1244,6 +1294,7 @@ def render_image_pallas(
     stats: bool = False,
     budget_texels: int = DEFAULT_TEXTURE_BUDGET,
     subcull: int = 0,
+    listed: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the fused megakernel; drop-in for
     ops.tracer.render_image. Image textures are sampled in-kernel from a
@@ -1304,11 +1355,16 @@ def render_image_pallas(
     textures = tex_pool is not None
     retr = retr_lut is not None
     lut_rows = -(-n_spheres // 128)  # LUT rows per attribute
+    # Branchless chunk lists measured SLOWER than the cond form (they
+    # bypass the super level: RTiOW 532->526, random10k 153->113 Mrays/s
+    # — docs/PERF.md round 3), so the default stays the cond sweep.
+    listed = bool(listed) and n_chunks > 0
     kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
                           chunk_size, n_chunks, block_w, tiles_x,
                           super_factor, n_super, full_height, stats=stats,
                           retr=retr, lut_rows=lut_rows,
-                          textures=textures, subcull=subcull)
+                          textures=textures, subcull=subcull,
+                          listed=listed)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     acc_spec = pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
@@ -1328,6 +1384,8 @@ def render_image_pallas(
         pool_inputs.append(retr_lut)
         pool_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     n_in = 3 + len(s_attrs) + 13 + len(pool_inputs)
+    list_scratch = ([pltpu.SMEM((max(n_chunks, 1),), jnp.int32)]
+                    if listed else [])
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1339,6 +1397,7 @@ def render_image_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases={n_in: 0},
+        scratch_shapes=list_scratch,
         interpret=interpret,
     )(meta, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
       *pool_inputs, acc)

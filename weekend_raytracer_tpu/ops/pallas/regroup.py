@@ -114,7 +114,7 @@ def default_cuts(num_bounces: int) -> tuple:
 def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
              super_factor, n_super, tiles_x, block_w, spp_shift,
              textures=False, frustum=False, full_height=None,
-             retr=False, lut_rows=0, export_key=False):
+             retr=False, lut_rows=0, export_key=False, listed=False):
     """Camera + bounces [0, b1); dumps the pool (per-lane homes) and the
     contribution image (final radiance for terminated paths, else 0).
 
@@ -149,6 +149,7 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
         else:
             frustum_ref = None
         pool_ref, contrib_ref = rest[0], rest[1]
+        list_ref = rest[-1] if listed else None
         t = pl.program_id(0)
         frame = meta_ref[0]
         row_off = meta_ref[1]
@@ -177,6 +178,7 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             tex_pool_ref=tex_pool_ref, frustum_ref=frustum_ref,
             frustum_row=t % 8, retr_lut_ref=retr_lut_ref,
             lut_rows=lut_rows, export_hit=bool(export_key),
+            chunk_list_ref=list_ref,
         )
         state, ox, oy, oz, dx, dy, dz = _camera_ray(
             cam_ref, x.astype(f32), y_g.astype(f32),
@@ -397,7 +399,7 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
              width, height, spp, tiles_x, block_w, spp_shift,
              textures=False, stats=False, tsub1=32, retr=False,
-             lut_rows=0, subcull=0):
+             lut_rows=0, subcull=0, listed=False):
     # frame_ref is [frame, row_offset] u32: home slots are shard-local,
     # but RNG seeds derive from GLOBAL pixel ids (see _make_k0).
     """Resume bounces [b_lo, b_hi) over the dense pool (1:1 rows).
@@ -425,6 +427,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
             retr_lut_ref = None
         cpool_ref, pool_out_ref = rest[0], rest[1]
         stats_ref = rest[2] if stats else None
+        list_ref = rest[-1] if listed else None
         t = pl.program_id(0)
         count = count_ref[0]
         b_lo = meta_ref[0]
@@ -441,7 +444,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                 super_factor=super_factor, n_super=n_super,
                 n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
                 retr_lut_ref=retr_lut_ref, lut_rows=lut_rows,
-                subcull=subcull,
+                subcull=subcull, chunk_list_ref=list_ref,
             )
 
             # The tile is processed in independent (tsub1, 128) sub-blocks,
@@ -628,7 +631,7 @@ def _make_level_kernel(src_records: bool, out8: bool, base_records: bool):
     static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
                      "super_factor", "cuts", "k1_chunk_size", "k1_tsub",
                      "k1_subcull", "full_height", "interpret",
-                     "debug_counts", "budget_texels"),
+                     "debug_counts", "budget_texels", "listed"),
 )
 def render_image_regrouped(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -653,6 +656,7 @@ def render_image_regrouped(
     interpret: bool | None = None,
     debug_counts: bool = False,
     budget_texels: int | None = None,
+    listed: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -757,10 +761,17 @@ def render_image_regrouped(
         fr_inputs = [flist]
         fr_specs = [pl.BlockSpec((8, flist.shape[1]), lambda i: (i // 8, 0),
                                  memory_space=pltpu.SMEM)]
+    # listed=True switches the culled sweeps to the branchless chunk-list
+    # form — measured slower than the cond+super form on chip (docs/
+    # PERF.md round 3), kept as a knob.
+    listed0 = listed and n_chunks > 0
+    listed1 = listed and n_chunks1 > 0
+    lscr = lambda n: [pltpu.SMEM((max(n, 1),), jnp.int32)]
     k0 = _make_k0(width, height, spp, cuts[0], n_spheres, chunk_size,
                   n_chunks, super_factor, n_super, tiles_x, block_w,
                   spp_shift, textures=textures, frustum=frustum,
-                  full_height=full_height, retr=retr, lut_rows=lut_rows)
+                  full_height=full_height, retr=retr, lut_rows=lut_rows,
+                  listed=listed0)
     meta0 = jnp.stack([frame.astype(jnp.uint32),
                        jnp.asarray(row_offset).astype(jnp.uint32)])
     pool, contrib = pl.pallas_call(
@@ -770,6 +781,7 @@ def render_image_regrouped(
         + fr_specs,
         out_specs=(pool_blk(), contrib_blk()),
         out_shape=(pool_shape, contrib_shape),
+        scratch_shapes=lscr(n_chunks) if listed0 else [],
         interpret=interpret,
     )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
       *pool_inputs, *fr_inputs)
@@ -838,7 +850,7 @@ def render_image_regrouped(
                           n_super1, width, height, spp, tiles_x, block_w,
                           spp_shift, textures=textures, tsub1=k1_tsub,
                           retr=retr1, lut_rows=lut_rows1,
-                          subcull=k1_subcull)
+                          subcull=k1_subcull, listed=listed1)
             pool_inputs1 = [tex_pool1] if textures else []
             if retr1:
                 pool_inputs1.append(retr_lut1)
@@ -853,6 +865,7 @@ def render_image_regrouped(
                 in_specs=[smem(), smem(), smem()] + scene_specs
                 + pool_specs1 + [pool_blk_c()],
                 out_specs=pool_blk_c(),
+                scratch_shapes=lscr(n_chunks1) if listed1 else [],
             ),
             out_shape=pool_shape,
             interpret=interpret,
