@@ -46,7 +46,8 @@ def main() -> int:
                   and args[0] != "nomk" else "rtiow")
     cut_specs = [a for a in args if is_spec(a)] or ["2"]
     skip_mk = "nomk" in args
-    spp, bounces = 4, 8
+    spp = int(os.environ.get("WRT_SPP", "4"))
+    bounces = int(os.environ.get("WRT_BOUNCES", "8"))
     if scene_name == "rtiow":
         desc, cam, (w, h) = (scenes.rtiow_final(), scenes.rtiow_final_camera(),
                              (1920, 1080))

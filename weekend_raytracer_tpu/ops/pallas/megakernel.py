@@ -399,24 +399,28 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
     def sphere_ts(s, carry):
         """Hit parameter for sphere s (MAX_T when invalid); fully
         independent per sphere. The quadratic uses the expanded form
-        b = o.d - c.d, c = |o|^2 - 2 o.c + kq with kq = |c|^2 - r^2
-        precomputed per sphere: 4 scalar reads, ~22 VPU ops."""
+        b = c.d - o.d, c = |o|^2 - 2 o.c + kq with kq = |c|^2 - r^2
+        precomputed per sphere: 4 scalar reads, ~24 VPU ops."""
         (_, _, ox, oy, oz, dx, dy, dz, od, oo) = carry[:10]
         cx, cy, cz, kq = scx[s], scy[s], scz[s], skq[s]
         cd = cx * dx + cy * dy + cz * dz
         co = cx * ox + cy * oy + cz * oz
-        bq = od - cd
+        b = cd - od  # -(o-c).d: roots are b -+ sqrt(disc), no negate
         cq = oo - 2.0 * co + kq
-        disc = bq * bq - cq
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        nb = -bq
-        t0 = nb - sq
-        t1 = nb + sq
+        disc = b * b - cq
+        # No max(disc, 0): sqrt of a negative gives NaN (or 0/inf on an
+        # exotic lowering), and every such value fails the sq > 0 guard
+        # below, so misses still resolve to MAX_T. sq > 0 <=> disc > 0
+        # exactly (IEEE sqrt is monotone, sqrt(0) = 0), preserving the
+        # strict-discriminant semantics of ops/intersect.py bit-for-bit.
+        sq = jnp.sqrt(disc)
+        t0 = b - sq
+        t1 = b + sq
         # prefer the near root; t1 >= t0 so "t0 in range but beyond
         # best while t1 is closer" cannot happen (same semantics as
         # the two-test form in ops/intersect.py)
         ts = jnp.where(t0 > MIN_T, t0, t1)
-        valid = (disc > 0.0) & (ts > MIN_T)
+        valid = (sq > 0.0) & (ts > MIN_T)
         return jnp.where(valid, ts, MAX_T)
 
     def sweep_span_tree(base, count, carry):
