@@ -27,8 +27,13 @@ def main() -> None:
     from weekend_raytracer_tpu.models import scenes
 
     width, height = 1920, 1080
-    spp_total = 100
-    spp_frame = 4
+    # 16 samples/frame folds 16 samples into each 128-lane row, so a
+    # tile covers an 8-pixel-wide screen block: tighter per-tile ray
+    # cones cull better (docs/PERF.md round 3: spp4 541 -> spp16 601
+    # Mrays/s). 96 total keeps divisibility; seconds_per_100spp_frame
+    # below normalizes to the BASELINE.md 100-spp workload.
+    spp_total = 96
+    spp_frame = 16
     bounces = 8
 
     backend = os.environ.get("WRT_BENCH_BACKEND", "auto")
@@ -63,7 +68,7 @@ def main() -> None:
     spp_timed = frames * spp_frame
     rays = width * height * spp_timed * bounces
     rays_per_sec = rays / dt
-    seconds_per_frame_100spp = dt * (spp_total / spp_timed)
+    seconds_per_frame_100spp = dt * (100 / spp_timed)
 
     result = {
         "metric": "rays/sec/chip (RTiOW final scene, 1080p, 8 bounces)",

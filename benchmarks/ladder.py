@@ -73,9 +73,14 @@ def main() -> int:
                    scenes.single_sphere_camera(), (400, 225),
                    16 if q else 100, 4, 8)
     if 2 in want:
+        # 16 samples/frame: the largest regroup fold that divides 128
+        # (tighter tile frustums cull better, docs/PERF.md round 3).
+        # Configs 1/3/4 keep 4 — their BASELINE spp totals (100/500)
+        # are not divisible by 16 — and config 5's 4K pool would
+        # exceed HBM above 4.
         run_config("2-three-720p-deep", scenes.three_spheres(),
                    scenes.three_spheres_camera(), (1280, 720),
-                   16 if q else 128, 4, 10)
+                   16 if q else 128, 4 if q else 16, 10)
     if 3 in want:
         run_config("3-rtiow-1080p", scenes.rtiow_final(),
                    scenes.rtiow_final_camera(), (1920, 1080),

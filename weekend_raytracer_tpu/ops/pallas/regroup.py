@@ -103,11 +103,15 @@ def _sample_seed(pix_u32, frame_hash, smp):
 
 def default_cuts(num_bounces: int) -> tuple:
     """Measured-best recompaction schedule (docs/PERF.md round 3): cuts
-    at bounces 3/5/6 clipped to the bounce budget — RTiOW-1080p 500.6 ->
-    532.0 Mrays/s and random10k 136.6 -> 152.8 vs the single cut, all
-    bit-identical (later cuts became cheap once every phase's inverse
-    map composes and dead tiles stopped paying block DMA)."""
-    cuts = tuple(c for c in (3, 5, 6) if c < num_bounces)
+    at bounces 2/4/6 clipped to the bounce budget. Multi-cut became
+    cheap once every phase's inverse map composes and dead tiles
+    stopped paying block DMA ((3,5,6): RTiOW-1080p 500.6 -> 532.0,
+    random10k 136.6 -> 152.8 Mrays/s); moving the first cut a bounce
+    earlier then won again on both scenes ((2,4,6): RTiOW spp16
+    586.7 -> 601.5, random10k 153 -> 174.7 — sky-dead rays compact
+    out before the first diverged full-occupancy sweep). All schedules
+    are bit-identical."""
+    cuts = tuple(c for c in (2, 4, 6) if c < num_bounces)
     return cuts or (num_bounces - 1,)
 
 
