@@ -27,13 +27,14 @@ def main() -> None:
     from weekend_raytracer_tpu.models import scenes
 
     width, height = 1920, 1080
-    # 16 samples/frame folds 16 samples into each 128-lane row, so a
-    # tile covers an 8-pixel-wide screen block: tighter per-tile ray
-    # cones cull better (docs/PERF.md round 3: spp4 541 -> spp16 601
-    # Mrays/s). 96 total keeps divisibility; seconds_per_100spp_frame
+    # 32 samples/frame folds 32 samples into each 128-lane row, so a
+    # tile covers a 4-pixel-wide screen block: tighter per-tile ray
+    # cones cull better (docs/PERF.md round 3: spp4 541 -> spp16 601 ->
+    # spp32 629 Mrays/s; spp32 fits in HBM since the compact-radiance
+    # combine). 96 total keeps divisibility; seconds_per_100spp_frame
     # below normalizes to the BASELINE.md 100-spp workload.
     spp_total = 96
-    spp_frame = 16
+    spp_frame = 32
     bounces = 8
 
     backend = os.environ.get("WRT_BENCH_BACKEND", "auto")

@@ -1146,12 +1146,13 @@ def build_kernel_texture_pool(mat, budget_texels: int = 8192):
 
 
 def default_chunk_size(n_spheres: int) -> int:
-    """Measured optimum (docs/PERF.md): chunk 32 at every scene scale.
-    Big scenes preferred 64 only while winner retrieval cond-walked
-    chunks; with the LUT-gather retrieval that cost is gone and finer
-    cull precision wins (random10k: 32 -> 135.3 vs 64 -> 131.3 Mrays/s,
-    16 -> 122.2; RTiOW: 32 ~= 16 > 64)."""
-    return 32
+    """Measured optimum (docs/PERF.md round 3, cuts (2,4,6) + spp fold):
+    16 for mid-size scenes, 32 at 10k scale. RTiOW spp16: 16 -> 617.4
+    vs 32 -> 601.5 vs 8 -> 542.8 Mrays/s (finer cull precision wins
+    once the LUT-gather retrieval removed the per-chunk walk cost);
+    random10k: 32 -> 174.7 vs 64 -> 168.2 vs 16 -> 161.7 (per-chunk
+    fixed costs dominate at 313+ chunks)."""
+    return 16 if n_spheres <= 2048 else 32
 
 
 DEFAULT_TEXTURE_BUDGET = 8192  # texels per texture in the in-kernel LUT

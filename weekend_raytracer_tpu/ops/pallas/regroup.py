@@ -403,7 +403,7 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
              width, height, spp, tiles_x, block_w, spp_shift,
              textures=False, stats=False, tsub1=32, retr=False,
-             lut_rows=0, subcull=0, listed=False):
+             lut_rows=0, subcull=0, listed=False, emit_r8=False):
     # frame_ref is [frame, row_offset] u32: home slots are shard-local,
     # but RNG seeds derive from GLOBAL pixel ids (see _make_k0).
     """Resume bounces [b_lo, b_hi) over the dense pool (1:1 rows).
@@ -411,7 +411,14 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
     RNG state is re-derived from each record's home slot: the stream
     draws exactly 4 floats for the camera plus 4 per bounce, so the state
     entering bounce b_lo is seed advanced 4*(b_lo+1) times — bit-identical
-    to a carried state, with no bitcast payload in the pool."""
+    to a carried state, with no bitcast payload in the pool.
+
+    emit_r8 adds a second (1, 8, 32, 128) output holding each record's
+    base radiance tr*cr in rows 0-2 (rows 3-7 zero): the reverse combine
+    reads only that product, so retaining the compact radiance pool per
+    phase instead of the full 16-comp record pool halves the regroup
+    pipeline's HBM high-water (the record pool is consumed by the next
+    pack alone and its buffer is donated through the phase chain)."""
     f32 = jnp.float32
     n_attr = 19 if textures else 13
 
@@ -430,7 +437,12 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
         else:
             retr_lut_ref = None
         cpool_ref, pool_out_ref = rest[0], rest[1]
-        stats_ref = rest[2] if stats else None
+        rest = rest[2:]
+        if emit_r8:
+            r8_ref, rest = rest[0], rest[1:]
+        else:
+            r8_ref = None
+        stats_ref = rest[0] if stats else None
         list_ref = rest[-1] if listed else None
         t = pl.program_id(0)
         count = count_ref[0]
@@ -530,25 +542,30 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                     out[0, _AL, r0:r0 + tsub1] = alive_f
                     out[0, _SPARE, r0:r0 + tsub1] = blk[_SPARE,
                                                         r0:r0 + tsub1]
+                    if emit_r8:
+                        r8_ref[0, 0, r0:r0 + tsub1] = tr * cr
+                        r8_ref[0, 1, r0:r0 + tsub1] = tg * cg
+                        r8_ref[0, 2, r0:r0 + tsub1] = tb * cb
+                        if sub == 0:
+                            r8_ref[0, 3:8] = jnp.zeros((5, 32, 128), f32)
 
     return kernel
 
 
-def _make_level_kernel(src_records: bool, out8: bool, base_records: bool):
+def _make_level_kernel():
     """One reverse-combine level (see render_image_regrouped's COMBINE).
 
-    Variants: the LAST phase's level gathers radiance straight from its
-    16-comp record pool (src_records=True, r = tr*cr); upper levels
-    gather from the previous level's 8-comp R pool. Intermediate levels
-    output an 8-comp R pool (out8) and read their base radiance from the
-    destination-space record pool block (base_records); the final home
-    level outputs the 3-comp contribution image over the K0 base.
+    Every level gathers radiance from an 8-comp R pool (rows 0-2 hold
+    the source records' radiance — K1's emitted base-radiance pool for
+    the last phase, the previous level's output above it) and reads its
+    base radiance from rows 0-2 of its own destination-space base block
+    (a phase r8 pool, or the K0 contribution image at the final home
+    level); the base buffer is overwritten in place (1:1 rows, donated).
 
     The grid runs under a scalar-prefetched dest-row count with CLAMPED
     block index maps: grid steps past the live destination tiles revisit
     the last live block and are fully skipped, so dead tiles cost no
     block DMA and no writeback of garbage."""
-    n_src = N_COMP if src_records else 8
 
     def kernel(dcount_ref, tbl_ref, count_ref, inv_ref, src_hbm,
                base_in, out_ref, win, rb0, rb1, rb2, sems):
@@ -582,11 +599,7 @@ def _make_level_kernel(src_records: bool, out8: bool, base_records: bool):
 
             rowbufs = (rb0, rb1, rb2)
             for ch in range(3):
-                if base_records:
-                    rowbufs[ch][:] = (base_in[0, _TR + ch]
-                                      * base_in[0, _CR + ch])
-                else:
-                    rowbufs[ch][:] = base_in[0, ch]
+                rowbufs[ch][:] = base_in[0, ch]
 
             @pl.when(nwin > 0)
             def _():
@@ -600,23 +613,14 @@ def _make_level_kernel(src_records: bool, out8: bool, base_records: bool):
                     off = prow - (start + a)
                     use_b = off == 1
                     live = (prow_f < _DEAD_ROW) & ((off == 0) | use_b)
-                    if src_records:
-                        blk_a = win[pl.ds(a, 1)][0][_TR:_TR + 8]
-                        blk_b = win[pl.ds(jnp.minimum(a + 1, 33), 1)][0][
-                            _TR:_TR + 8]
-                    else:
-                        blk_a = win[pl.ds(a, 1)][0]
-                        blk_b = win[pl.ds(jnp.minimum(a + 1, 33), 1)][0]
+                    blk_a = win[pl.ds(a, 1)][0]
+                    blk_b = win[pl.ds(jnp.minimum(a + 1, 33), 1)][0]
                     idx8 = jnp.broadcast_to(lidx, (8, 128))
                     va = jnp.take_along_axis(blk_a, idx8, axis=1)
                     vb = jnp.take_along_axis(blk_b, idx8, axis=1)
                     for ch in range(3):
-                        if src_records:
-                            ra = va[ch:ch + 1] * va[ch + 3:ch + 4]
-                            rb = vb[ch:ch + 1] * vb[ch + 3:ch + 4]
-                        else:
-                            ra = va[ch:ch + 1]
-                            rb = vb[ch:ch + 1]
+                        ra = va[ch:ch + 1]
+                        rb = vb[ch:ch + 1]
                         cur = rowbufs[ch][pl.ds(j, 1), :]
                         rowbufs[ch][pl.ds(j, 1), :] = jnp.where(
                             live, jnp.where(use_b, rb, ra), cur)
@@ -627,7 +631,7 @@ def _make_level_kernel(src_records: bool, out8: bool, base_records: bool):
             for ch in range(3):
                 out_ref[0, ch] = rowbufs[ch][:]
 
-    return kernel, n_src
+    return kernel
 
 
 @functools.partial(
@@ -812,6 +816,11 @@ def render_image_regrouped(
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
     inv_shape = jax.ShapeDtypeStruct((n_tiles, N_INV, 32, 128), jnp.float32)
+    r8_shape = jax.ShapeDtypeStruct((n_tiles, 8, 32, 128), jnp.float32)
+    r8_blk_c = lambda: pl.BlockSpec(
+        (1, 8, 32, 128),
+        lambda i, c: (jnp.minimum(i, live_tiles(c)), 0, 0, 0),
+        memory_space=pltpu.VMEM)
     k1 = None
     phases = []  # (k1_out_pool, count, inv, dest_count)
     for pi, b_lo in enumerate(cuts):
@@ -847,65 +856,66 @@ def render_image_regrouped(
         )(count, pool)
         cpool, inv, count = packed
 
-        # --- K1: resume bounces on dense tiles (same clamped maps) ---
+        # --- K1: resume bounces on dense tiles (same clamped maps).
+        # Besides the updated record pool (consumed ONLY by the next
+        # phase's pack, so its buffer is donated from cpool), K1 emits
+        # the compact 8-comp base-radiance pool the combine needs: the
+        # full pools never accumulate across phases, halving the
+        # pipeline's HBM high-water (docs/PERF.md round 3). ---
         b_hi = cuts[pi + 1] if pi + 1 < len(cuts) else num_bounces
         if k1 is None:
             k1 = _make_k1(n_sph1, k1_chunk_size, n_chunks1, super_factor,
                           n_super1, width, height, spp, tiles_x, block_w,
                           spp_shift, textures=textures, tsub1=k1_tsub,
                           retr=retr1, lut_rows=lut_rows1,
-                          subcull=k1_subcull, listed=listed1)
+                          subcull=k1_subcull, listed=listed1, emit_r8=True)
             pool_inputs1 = [tex_pool1] if textures else []
             if retr1:
                 pool_inputs1.append(retr_lut1)
             pool_specs1 = [pl.BlockSpec(memory_space=pltpu.VMEM)
                            for _ in pool_inputs1]
         meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
-        pool = pl.pallas_call(
+        k1_ops = (count, meta1, meta0, sky_vec, *s_attrs1, *chunk_arrays1,
+                  *super_arrays1, *pool_inputs1, cpool)
+        pool, r8 = pl.pallas_call(
             k1,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_tiles,),
                 in_specs=[smem(), smem(), smem()] + scene_specs
                 + pool_specs1 + [pool_blk_c()],
-                out_specs=pool_blk_c(),
+                out_specs=(pool_blk_c(), r8_blk_c()),
                 scratch_shapes=lscr(n_chunks1) if listed1 else [],
             ),
-            out_shape=pool_shape,
+            out_shape=(pool_shape, r8_shape),
+            input_output_aliases={len(k1_ops) - 1: 0},
             interpret=interpret,
-        )(count, meta1, meta0, sky_vec, *s_attrs1, *chunk_arrays1,
-          *super_arrays1, *pool_inputs1, cpool)
-        phases.append((pool, count, inv, dest_count))
+        )(*k1_ops)
+        phases.append((r8, count, inv, dest_count))
 
     # --- COMBINE (reverse map composition): walking phases last-to-first,
-    # compute R_i[p] = the final radiance of the path whose record sits at
-    # position p of phase i's pool — its own tr*cr if it terminated there,
-    # else R_{i+1} gathered through phase i+1's inverse map. The final
-    # level lands R_0 on home slots over the K0 contribution image. The
-    # last phase's level gathers straight from its record pool; upper
-    # levels gather from the level below's 8-comp R pool; intermediate
-    # levels read their base radiance from the destination record pool
-    # block in-kernel (no XLA radiance materialization on any path).
-    r8_shape = jax.ShapeDtypeStruct((n_tiles, 8, 32, 128), jnp.float32)
-    r8_blk_c = lambda: pl.BlockSpec(
-        (1, 8, 32, 128),
-        lambda i, c: (jnp.minimum(i, live_tiles(c)), 0, 0, 0),
-        memory_space=pltpu.VMEM)
+    # compute R_i[p] = the final radiance of the path whose record sat at
+    # position p of phase i's pool — its own base radiance tr*cr (phase
+    # i's r8 pool, rows 0-2) if it terminated there, else R_{i+1}
+    # gathered through phase i+1's inverse map. The final level lands
+    # R_0 on home slots over the K0 contribution image. Every level
+    # gathers from an 8-comp radiance pool and overwrites its base pool
+    # in place (1:1 rows -> the base buffer is donated); no XLA radiance
+    # materialization on any path.
     contrib_blk_c = lambda: pl.BlockSpec(
         (1, 3, 32, 128),
         lambda i, c: (jnp.minimum(i, live_tiles(c)), 0, 0, 0),
         memory_space=pltpu.VMEM)
 
-    def combine_level(inv_i, src_count, dest_count, src_pool, base,
-                      src_records, out8, base_records, alias_base):
+    def combine_level(inv_i, src_count, dest_count, src_pool, base, out8):
         tiles_alive = (jnp.arange(n_tiles, dtype=jnp.int32) * 32
                        < dest_count[0])
         tbl_raw = inv_i[:, _INV_FIRST, 0, 0].astype(jnp.int32)
         tbl = jnp.where(tiles_alive, tbl_raw, src_count[0])
         tbl = jnp.clip(tbl, 0, jnp.maximum(src_count[0] - 1, 0))
         tbl = jnp.concatenate([tbl, src_count])
-        kern, n_src = _make_level_kernel(src_records, out8, base_records)
-        base_spec = pool_blk_c() if base_records else contrib_blk_c()
+        kern = _make_level_kernel()
+        base_spec = r8_blk_c() if out8 else contrib_blk_c()
         return pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -916,7 +926,7 @@ def render_image_regrouped(
                           base_spec],
                 out_specs=r8_blk_c() if out8 else contrib_blk_c(),
                 scratch_shapes=[
-                    pltpu.VMEM((34, n_src, 128), jnp.float32),
+                    pltpu.VMEM((34, 8, 128), jnp.float32),
                     pltpu.VMEM((32, 128), jnp.float32),
                     pltpu.VMEM((32, 128), jnp.float32),
                     pltpu.VMEM((32, 128), jnp.float32),
@@ -924,23 +934,17 @@ def render_image_regrouped(
                 ],
             ),
             out_shape=r8_shape if out8 else contrib_shape,
-            input_output_aliases={5: 0} if alias_base else {},
+            input_output_aliases={5: 0},
             interpret=interpret,
         )(dest_count, tbl, src_count, inv_i, src_pool, base)
 
     src = phases[-1][0]
-    src_records = True
     for pi in range(len(phases) - 1, 0, -1):
-        pool_prev = phases[pi - 1][0]
+        r8_prev = phases[pi - 1][0]
         _, src_count, inv_i, dc = phases[pi]
-        src = combine_level(inv_i, src_count, dc, src, pool_prev,
-                            src_records=src_records, out8=True,
-                            base_records=True, alias_base=False)
-        src_records = False
+        src = combine_level(inv_i, src_count, dc, src, r8_prev, out8=True)
     contrib = combine_level(phases[0][2], phases[0][1], phases[0][3],
-                            src, contrib, src_records=src_records,
-                            out8=False, base_records=False,
-                            alias_base=True)
+                            src, contrib, out8=False)
 
     # --- contributions -> scanline pixel image (pure reshape/transpose) ---
     tiles_y = hp // 32
