@@ -413,12 +413,13 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
     entering bounce b_lo is seed advanced 4*(b_lo+1) times — bit-identical
     to a carried state, with no bitcast payload in the pool.
 
-    emit_r8 adds a second (1, 8, 32, 128) output holding each record's
-    base radiance tr*cr in rows 0-2 (rows 3-7 zero): the reverse combine
-    reads only that product, so retaining the compact radiance pool per
-    phase instead of the full 16-comp record pool halves the regroup
-    pipeline's HBM high-water (the record pool is consumed by the next
-    pack alone and its buffer is donated through the phase chain)."""
+    emit_r8 adds a second (1, 4, 32, 128) output holding each record's
+    base radiance tr*cr in rows 0-2 (row 3 zero pad): the reverse combine
+    reads only that product, so retaining the compact 4-comp radiance
+    pool per phase instead of the full 16-comp record pool quarters the
+    regroup pipeline's retained-HBM high-water (the record pool is
+    consumed by the next pack alone and its buffer is donated through
+    the phase chain)."""
     f32 = jnp.float32
     n_attr = 19 if textures else 13
 
@@ -547,7 +548,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                         r8_ref[0, 1, r0:r0 + tsub1] = tg * cg
                         r8_ref[0, 2, r0:r0 + tsub1] = tb * cb
                         if sub == 0:
-                            r8_ref[0, 3:8] = jnp.zeros((5, 32, 128), f32)
+                            r8_ref[0, 3:4] = jnp.zeros((1, 32, 128), f32)
 
     return kernel
 
@@ -555,12 +556,15 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
 def _make_level_kernel():
     """One reverse-combine level (see render_image_regrouped's COMBINE).
 
-    Every level gathers radiance from an 8-comp R pool (rows 0-2 hold
+    Every level gathers radiance from a 4-comp R pool (rows 0-2 hold
     the source records' radiance — K1's emitted base-radiance pool for
     the last phase, the previous level's output above it) and reads its
     base radiance from rows 0-2 of its own destination-space base block
-    (a phase r8 pool, or the K0 contribution image at the final home
+    (a phase r4 pool, or the K0 contribution image at the final home
     level); the base buffer is overwritten in place (1:1 rows, donated).
+    The gather window keeps 8 sublanes (the verified take_along_axis
+    shape); each DMA fills only its first 4, rows 4-7 stay stale and
+    are never consumed.
 
     The grid runs under a scalar-prefetched dest-row count with CLAMPED
     block index maps: grid steps past the live destination tiles revisit
@@ -584,7 +588,7 @@ def _make_level_kernel():
                     r = start + w
                     pltpu.make_async_copy(
                         src_hbm.at[r // 32, :, r % 32],
-                        win.at[w],
+                        win.at[w, pl.ds(0, 4)],
                         sems.at[w],
                     ).start()
             for w in range(34):
@@ -593,7 +597,7 @@ def _make_level_kernel():
                     r = start + w
                     pltpu.make_async_copy(
                         src_hbm.at[r // 32, :, r % 32],
-                        win.at[w],
+                        win.at[w, pl.ds(0, 4)],
                         sems.at[w],
                     ).wait()
 
@@ -630,6 +634,8 @@ def _make_level_kernel():
 
             for ch in range(3):
                 out_ref[0, ch] = rowbufs[ch][:]
+            if out_ref.shape[1] == 4:  # r4 pad row: keep pools defined
+                out_ref[0, 3] = jnp.zeros((32, 128), jnp.float32)
 
     return kernel
 
@@ -816,9 +822,9 @@ def render_image_regrouped(
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
     inv_shape = jax.ShapeDtypeStruct((n_tiles, N_INV, 32, 128), jnp.float32)
-    r8_shape = jax.ShapeDtypeStruct((n_tiles, 8, 32, 128), jnp.float32)
+    r8_shape = jax.ShapeDtypeStruct((n_tiles, 4, 32, 128), jnp.float32)
     r8_blk_c = lambda: pl.BlockSpec(
-        (1, 8, 32, 128),
+        (1, 4, 32, 128),
         lambda i, c: (jnp.minimum(i, live_tiles(c)), 0, 0, 0),
         memory_space=pltpu.VMEM)
     k1 = None
