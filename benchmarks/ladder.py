@@ -73,14 +73,15 @@ def main() -> int:
                    scenes.single_sphere_camera(), (400, 225),
                    16 if q else 100, 4, 8)
     if 2 in want:
-        # 16 samples/frame: the largest regroup fold that divides 128
-        # (tighter tile frustums cull better, docs/PERF.md round 3).
-        # Configs 1/3/4 keep 4 — their BASELINE spp totals (100/500)
-        # are not divisible by 16 — and config 5's 4K pool would
-        # exceed HBM above 4.
+        # Largest regroup fold that divides the config's spp total
+        # (tighter tile frustums cull better, docs/PERF.md round 3):
+        # config 2 folds 32 (128 spp), config 5 folds 8 (64 spp; 4K
+        # pools fit since the r4 compact-radiance combine). Configs
+        # 1/3/4 keep 4 — the reference's validation requires max spp
+        # divisible by spp/frame and 100/500 admit no larger pow2.
         run_config("2-three-720p-deep", scenes.three_spheres(),
                    scenes.three_spheres_camera(), (1280, 720),
-                   16 if q else 128, 4 if q else 16, 10)
+                   16 if q else 128, 4 if q else 32, 10)
     if 3 in want:
         run_config("3-rtiow-1080p", scenes.rtiow_final(),
                    scenes.rtiow_final_camera(), (1920, 1080),
@@ -94,7 +95,7 @@ def main() -> int:
         run_config("5-random10k-4k", scenes.random_spheres(10000),
                    scenes.random_spheres_camera(),
                    (960, 540) if q else (3840, 2160),
-                   8 if q else 64, 4, 8)
+                   8 if q else 64, 4 if q else 8, 8)
     return 0
 
 

@@ -57,6 +57,15 @@ def main() -> int:
     elif scene_name == "three":
         desc, cam, (w, h) = (scenes.three_spheres(),
                              scenes.three_spheres_camera(), (1280, 720))
+    elif scene_name == "rtiow4":
+        # Ceiling probe: RTiOW's ground + 3 big spheres only, same
+        # camera — identical pipeline/fixed costs and similar ray
+        # liveness with near-zero sweep work; its rays/s bounds what
+        # any cull scheme could reach on the full scene.
+        full = scenes.rtiow_final()
+        desc = type(full)(materials=full.materials[:4],
+                          spheres=full.spheres[:4])
+        cam, (w, h) = scenes.rtiow_final_camera(), (1920, 1080)
     else:
         raise SystemExit(scene_name)
 

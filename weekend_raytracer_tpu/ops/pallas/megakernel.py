@@ -400,13 +400,16 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
         """Hit parameter for sphere s (MAX_T when invalid); fully
         independent per sphere. The quadratic uses the expanded form
         b = c.d - o.d, c = |o|^2 - 2 o.c + kq with kq = |c|^2 - r^2
-        precomputed per sphere: 4 scalar reads, ~24 VPU ops."""
+        precomputed per sphere: 4 scalar reads, ~23 VPU ops. The 2 o.c
+        doubling rides the SCALAR unit (c2 = c + c per component, exact)
+        so the VPU skips the 2.0 * co multiply: fl(2c.o_i) = 2 fl(c.o_i)
+        and the sum sequence is unchanged, hence cq is bit-identical."""
         (_, _, ox, oy, oz, dx, dy, dz, od, oo) = carry[:10]
         cx, cy, cz, kq = scx[s], scy[s], scz[s], skq[s]
         cd = cx * dx + cy * dy + cz * dz
-        co = cx * ox + cy * oy + cz * oz
+        co2 = (cx + cx) * ox + (cy + cy) * oy + (cz + cz) * oz
         b = cd - od  # -(o-c).d: roots are b -+ sqrt(disc), no negate
-        cq = oo - 2.0 * co + kq
+        cq = oo - co2 + kq
         disc = b * b - cq
         # No max(disc, 0): sqrt of a negative gives NaN (or 0/inf on an
         # exotic lowering), and every such value fails the sq > 0 guard
