@@ -101,7 +101,7 @@ def _sample_seed(pix_u32, frame_hash, smp):
     return _jenkins(pix_u32 ^ frame_hash ^ mix)
 
 
-def default_cuts(num_bounces: int) -> tuple:
+def default_cuts(num_bounces: int, n_spheres: int = None) -> tuple:
     """Measured-best recompaction schedule (docs/PERF.md round 3): cuts
     at bounces 2/4/6 clipped to the bounce budget. Multi-cut became
     cheap once every phase's inverse map composes and dead tiles
@@ -110,8 +110,20 @@ def default_cuts(num_bounces: int) -> tuple:
     earlier then won again on both scenes ((2,4,6): RTiOW spp16
     586.7 -> 601.5, random10k 153 -> 174.7 — sky-dead rays compact
     out before the first diverged full-occupancy sweep). All schedules
-    are bit-identical."""
-    cuts = tuple(c for c in (2, 4, 6) if c < num_bounces)
+    are bit-identical.
+
+    Small scenes invert the trade: with only a handful of spheres the
+    closest-hit sweep a cut would shrink is already negligible next to
+    the per-phase fixed costs (pack + combine + full-grid iteration),
+    so extra phases are pure overhead — three-sphere 720p runs 1796
+    Mrays/s at (3,) vs 1284 at (2,4,6) (-29%). When ``n_spheres`` is
+    given and the scene fits in a few cull chunks, keep the round-2
+    single-cut schedule; measured crossover points are 5 spheres
+    (single cut wins big) and 486 (multi-cut wins)."""
+    if n_spheres is not None and n_spheres <= 64:
+        cuts = tuple(c for c in (3,) if c < num_bounces)
+    else:
+        cuts = tuple(c for c in (2, 4, 6) if c < num_bounces)
     return cuts or (num_bounces - 1,)
 
 

@@ -151,7 +151,9 @@ def render_image_sharded(
                 scene, sky, basis,
                 width=width, height=block_rows, spp=local_spp,
                 num_bounces=num_bounces,
-                cuts=default_cuts(num_bounces),
+                cuts=default_cuts(
+                    num_bounces, int(scene.spheres.centers.shape[0])
+                ),
                 row_offset=(tile_idx * block_rows).astype(jnp.uint32),
                 full_height=aim_height,
                 budget_texels=budget_texels,

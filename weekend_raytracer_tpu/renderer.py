@@ -294,7 +294,7 @@ class Renderer:
                     height=h,
                     spp=spp,
                     num_bounces=bounces,
-                    cuts=default_cuts(bounces),
+                    cuts=default_cuts(bounces, n_spheres),
                     **bt,
                 )
             elif self.backend == "wavefront":
