@@ -319,6 +319,288 @@ def p5(precision="highest"):
           f"idx agree: {idx_agree:.4f}")
 
 
+def _rowdot_sweep_kernel(n_spheres, iters, precision):
+    """Integration-friendly MXU form: rays stay in today's (32,128)
+    plane layout; per pool row r, B_r = sublane-concat of the six
+    (1,128) component rows (+ ones row for kq), one (64,8)x(8,128) dot
+    per row per chunk, sublane roll-argmin, rows reassembled by concat.
+    No layout change anywhere — a drop-in sweep replacement."""
+    assert n_spheres == 32
+
+    def kernel(amat, ox, oy, oz, dx, dy, dz, t_out, i_out):
+        f32 = jnp.float32
+        oxv, oyv, ozv = ox[...], oy[...], oz[...]
+        dxv, dyv, dzv = dx[...], dy[...], dz[...]
+        od = oxv * dxv + oyv * dyv + ozv * dzv
+        oo = oxv * oxv + oyv * oyv + ozv * ozv
+        a = amat[...]  # (64, 8)
+        ones = jnp.ones((1, 128), f32)
+        zeros = jnp.zeros((1, 128), f32)
+
+        def body(it, carry):
+            bt, bi = carry
+            aj = a + it.astype(f32) * 0.0  # anti-hoist
+            out_rows_t = []
+            out_rows_i = []
+            for r in range(32):
+                b_r = jnp.concatenate(
+                    [dxv[r:r + 1], dyv[r:r + 1], dzv[r:r + 1],
+                     oxv[r:r + 1], oyv[r:r + 1], ozv[r:r + 1],
+                     ones, zeros], axis=0)  # (8, 128)
+                out = jax.lax.dot_general(
+                    aj, b_r, (((1,), (0,)), ((), ())), precision=precision
+                )  # (64, 128)
+                cd = out[0:32]
+                m2co_kq = out[32:64]
+                b = cd - od[r:r + 1]
+                cq = oo[r:r + 1] + m2co_kq
+                sq = jnp.sqrt(b * b - cq)
+                t0 = b - sq
+                t1 = b + sq
+                ts = jnp.where(t0 > MIN_T, t0, t1)
+                valid = (sq > 0.0) & (ts > MIN_T)
+                ts = jnp.where(valid, ts, MAX_T)
+                idx = jax.lax.broadcasted_iota(f32, (32, 128), 0)
+                for sh in (16, 8, 4, 2, 1):
+                    rt = pltpu.roll(ts, sh, 0)
+                    ri = pltpu.roll(idx, sh, 0)
+                    take = rt < ts
+                    ts = jnp.where(take, rt, ts)
+                    idx = jnp.where(take, ri, idx)
+                out_rows_t.append(ts[0:1])
+                out_rows_i.append(idx[0:1])
+            ta = jnp.concatenate(out_rows_t, axis=0)  # (32, 128)
+            ia = jnp.concatenate(out_rows_i, axis=0)
+            take = ta < bt
+            return (jnp.where(take, ta, bt), jnp.where(take, ia, bi))
+
+        bt = jnp.full((32, 128), MAX_T, f32)
+        bi = jnp.full((32, 128), -1.0, f32)
+        bt, bi = jax.lax.fori_loop(0, iters, body, (bt, bi))
+        t_out[...], i_out[...] = bt, bi
+
+    return kernel
+
+
+def p7(precision="highest"):
+    n_spheres, n_rays, iters = 32, 4096, 64
+    c, r, o, d = _scene(n_spheres, n_rays)
+    kq = (c * c).sum(1) - r * r
+    amat = np.zeros((64, 8), np.float32)
+    amat[0:32, 0:3] = c
+    amat[32:64, 3:6] = -2.0 * c
+    amat[32:64, 6] = kq
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    rowdot = _call(
+        _rowdot_sweep_kernel(n_spheres, iters, precision),
+        in_specs=[vmem()] * 7,
+        out_specs=[vmem()] * 2,
+        out_shape=[jax.ShapeDtypeStruct((32, 128), jnp.float32)] * 2,
+    )
+    planes = [jnp.asarray(v.reshape(32, 128)) for v in (*o, *d)]
+    try:
+        dt, (tr_, ir_) = timed(
+            jax.jit(lambda *a: rowdot(*a)), jnp.asarray(amat), *planes,
+            iters=30)
+    except Exception as e:  # noqa: BLE001
+        print("P7 rowdot form: FAILS —", str(e).split("\n")[0][:300])
+        return
+    # reference: numpy closest-hit
+    ts_all = np.full((n_spheres, n_rays), MAX_T, np.float32)
+    cd = c @ d
+    co = c @ o
+    od = (o * d).sum(0)
+    oo = (o * o).sum(0)
+    b = cd - od[None]
+    cq = oo[None] - 2 * co + kq[:, None]
+    disc = b * b - cq
+    sq = np.sqrt(np.maximum(disc, 0))
+    t0 = b - sq
+    t1 = b + sq
+    ts = np.where(t0 > MIN_T, t0, t1)
+    valid = (disc > 0) & (ts > MIN_T)
+    ts_all = np.where(valid, ts, MAX_T)
+    ref_t = ts_all.min(0)
+    got_t = np.asarray(tr_).reshape(-1)
+    agree = np.mean(np.isclose(ref_t, got_t, rtol=1e-4, atol=1e-4))
+    sw = n_spheres * n_rays * iters
+    print(f"P7 rowdot precision={precision}: {dt*1e6:9.1f} us "
+          f"({sw/dt/1e9:7.2f} Gtest/s)  t agree(1e-4): {agree:.4f}")
+
+
+def _chunked_vpu_kernel(n_chunks, cs, iters):
+    """Chunked VPU sweep: fori over chunks with dynamic SMEM scalar
+    reads — the shape of the real culled sweep (no cull conds here)."""
+
+    def kernel(scx, scy, scz, skq, ox, oy, oz, dx, dy, dz, t_out, i_out):
+        f32 = jnp.float32
+        oxv, oyv, ozv = ox[...], oy[...], oz[...]
+        dxv, dyv, dzv = dx[...], dy[...], dz[...]
+        od = oxv * dxv + oyv * dyv + ozv * dzv
+        oo = oxv * oxv + oyv * oyv + ozv * ozv
+
+        def chunk_body(c, carry, dxj):
+            bt, bi = carry
+            items = []
+            for j in range(cs):
+                s = c * cs + j
+                cx, cy, cz, kq = scx[0, s], scy[0, s], scz[0, s], skq[0, s]
+                cd = cx * dxj + cy * dyv + cz * dzv
+                co2 = (cx + cx) * oxv + (cy + cy) * oyv + (cz + cz) * ozv
+                b = cd - od
+                cq = oo - co2 + kq
+                sq = jnp.sqrt(b * b - cq)
+                t0 = b - sq
+                t1 = b + sq
+                ts = jnp.where(t0 > MIN_T, t0, t1)
+                valid = (sq > 0.0) & (ts > MIN_T)
+                items.append((jnp.where(valid, ts, MAX_T),
+                              jnp.full_like(ts, float(j)) + c.astype(f32)
+                              * float(cs)))
+            while len(items) > 1:
+                merged = []
+                for k in range(0, len(items) - 1, 2):
+                    (ta, ia), (tb, ib) = items[k], items[k + 1]
+                    take = tb < ta
+                    merged.append((jnp.minimum(ta, tb),
+                                   jnp.where(take, ib, ia)))
+                if len(items) % 2:
+                    merged.append(items[-1])
+                items = merged
+            ta, ia = items[0]
+            take = ta < bt
+            return (jnp.where(take, ta, bt), jnp.where(take, ia, bi))
+
+        def body(it, carry):
+            dxj = dxv + it.astype(f32) * 0.0
+            return jax.lax.fori_loop(
+                0, n_chunks, lambda c, cr: chunk_body(c, cr, dxj), carry)
+
+        bt = jnp.full((32, 128), MAX_T, f32)
+        bi = jnp.full((32, 128), -1.0, f32)
+        bt, bi = jax.lax.fori_loop(0, iters, body, (bt, bi))
+        t_out[...], i_out[...] = bt, bi
+
+    return kernel
+
+
+def _chunked_mxu_kernel(n_chunks, cs, iters, precision):
+    """Integration-exact MXU sweep: amats (n_chunks, 8, 2cs) VMEM input,
+    dynamic chunk indexing, per-row dot_general(A_T, B_r) contracting
+    sublanes, sublane-half tree argmin, rows reassembled by concat."""
+
+    def kernel(amats, ox, oy, oz, dx, dy, dz, t_out, i_out):
+        f32 = jnp.float32
+        oxv, oyv, ozv = ox[...], oy[...], oz[...]
+        dxv, dyv, dzv = dx[...], dy[...], dz[...]
+        od = oxv * dxv + oyv * dyv + ozv * dzv
+        oo = oxv * oxv + oyv * oyv + ozv * ozv
+        ones = jnp.ones((1, 128), f32)
+        zeros = jnp.zeros((1, 128), f32)
+        brows = [
+            jnp.concatenate(
+                [dxv[r:r + 1], dyv[r:r + 1], dzv[r:r + 1],
+                 oxv[r:r + 1], oyv[r:r + 1], ozv[r:r + 1],
+                 ones, zeros], axis=0)
+            for r in range(32)
+        ]
+
+        def chunk_body(c, carry, anti):
+            bt, bi = carry
+            a_t = amats[c] + anti  # (8, 2cs) dynamic chunk slice
+            rows_t, rows_i = [], []
+            for r in range(32):
+                out = jax.lax.dot_general(
+                    a_t, brows[r], (((0,), (0,)), ((), ())),
+                    precision=precision)  # (2cs, 128)
+                b = out[0:cs] - od[r:r + 1]
+                cq = oo[r:r + 1] + out[cs:2 * cs]
+                sq = jnp.sqrt(b * b - cq)
+                t0 = b - sq
+                t1 = b + sq
+                ts = jnp.where(t0 > MIN_T, t0, t1)
+                valid = (sq > 0.0) & (ts > MIN_T)
+                ts = jnp.where(valid, ts, MAX_T)  # (cs, 128)
+                idx = jax.lax.broadcasted_iota(f32, (cs, 128), 0)
+                h = cs
+                while h > 1:
+                    h //= 2
+                    lo_t, hi_t = ts[0:h], ts[h:2 * h]
+                    lo_i, hi_i = idx[0:h], idx[h:2 * h]
+                    take = hi_t < lo_t
+                    ts = jnp.minimum(lo_t, hi_t)
+                    idx = jnp.where(take, hi_i, lo_i)
+                rows_t.append(ts)
+                rows_i.append(idx + c.astype(f32) * float(cs))
+            ta = jnp.concatenate(rows_t, axis=0)  # (32, 128)
+            ia = jnp.concatenate(rows_i, axis=0)
+            take = ta < bt
+            return (jnp.where(take, ta, bt), jnp.where(take, ia, bi))
+
+        def body(it, carry):
+            anti = it.astype(f32) * 0.0
+            return jax.lax.fori_loop(
+                0, n_chunks, lambda c, cr: chunk_body(c, cr, anti), carry)
+
+        bt = jnp.full((32, 128), MAX_T, f32)
+        bi = jnp.full((32, 128), -1.0, f32)
+        bt, bi = jax.lax.fori_loop(0, iters, body, (bt, bi))
+        t_out[...], i_out[...] = bt, bi
+
+    return kernel
+
+
+def p8(precision="highest", n_chunks=10, cs=32):
+    n_rays, iters = 4096, 16
+    n_spheres = n_chunks * cs
+    c, r, o, d = _scene(n_spheres, n_rays)
+    kq = (c * c).sum(1) - r * r
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    planes = [jnp.asarray(v.reshape(32, 128)) for v in (*o, *d)]
+
+    vpu = _call(
+        _chunked_vpu_kernel(n_chunks, cs, iters),
+        in_specs=[smem()] * 4 + [vmem()] * 6,
+        out_specs=[vmem()] * 2,
+        out_shape=[jax.ShapeDtypeStruct((32, 128), jnp.float32)] * 2,
+    )
+    args = [jnp.asarray(v.reshape(1, -1)) for v in
+            (c[:, 0], c[:, 1], c[:, 2], kq)] + planes
+    dt_v, (tv, iv) = timed(jax.jit(lambda *a: vpu(*a)), *args, iters=20)
+
+    amats = np.zeros((n_chunks, 8, 2 * cs), np.float32)
+    for ci in range(n_chunks):
+        blk = c[ci * cs:(ci + 1) * cs]
+        amats[ci, 0:3, 0:cs] = blk.T
+        amats[ci, 3:6, cs:2 * cs] = -2.0 * blk.T
+        amats[ci, 6, cs:2 * cs] = kq[ci * cs:(ci + 1) * cs]
+    mxu = _call(
+        _chunked_mxu_kernel(n_chunks, cs, iters, precision),
+        in_specs=[vmem()] * 7,
+        out_specs=[vmem()] * 2,
+        out_shape=[jax.ShapeDtypeStruct((32, 128), jnp.float32)] * 2,
+    )
+    try:
+        dt_m, (tm, im) = timed(
+            jax.jit(lambda *a: mxu(*a)), jnp.asarray(amats), *planes,
+            iters=20)
+    except Exception as e:  # noqa: BLE001
+        print(f"P8 MXU chunked (cs={cs}): FAILS —",
+              str(e).split("\n")[0][:300])
+        return
+    tvf, tmf = np.asarray(tv).ravel(), np.asarray(tm).ravel()
+    ivf, imf = np.asarray(iv).ravel(), np.asarray(im).ravel()
+    agree = np.mean(np.isclose(tvf, tmf, rtol=1e-4, atol=1e-4))
+    idx_agree = np.mean((ivf == imf) | (tvf >= MAX_T))
+    sw = n_spheres * n_rays * iters
+    print(f"P8 cs={cs} x {n_chunks} chunks, precision={precision}:")
+    print(f"   VPU: {dt_v*1e6:9.1f} us ({sw/dt_v/1e9:7.2f} Gtest/s)")
+    print(f"   MXU: {dt_m*1e6:9.1f} us ({sw/dt_m/1e9:7.2f} Gtest/s)  "
+          f"speedup x{dt_v/dt_m:.2f}")
+    print(f"   t agree(1e-4): {agree:.4f}  idx agree: {idx_agree:.4f}")
+
+
 # ------------------------------------------------------------------ P6
 
 def p6():
@@ -342,7 +624,10 @@ def p6():
 
 
 ALL = {"p1": p1, "p2": p2, "p3": p3, "p4": p4, "p5": p5,
-       "p5bf16": functools.partial(p5, precision=None), "p6": p6}
+       "p5bf16": functools.partial(p5, precision=None), "p6": p6,
+       "p7": p7, "p7bf16": functools.partial(p7, precision=None),
+       "p8": p8, "p8bf16": functools.partial(p8, precision=None),
+       "p8c16": functools.partial(p8, cs=16, n_chunks=20)}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
