@@ -296,7 +296,8 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                  stats: bool = False, tex_pool_ref=None, frustum_ref=None,
                  frustum_row=None, retr_lut_ref=None, lut_rows: int = 0,
                  export_hit: bool = False, subcull: int = 0,
-                 chunk_list_ref=None, list_groups: int = 4):
+                 chunk_list_ref=None, list_groups: int = 4,
+                 mxu_ref=None):
     """Build the (cond, body) pair for the per-bounce physics while_loop.
 
     One bounce = culled closest-hit sweep + winner-attribute retrieval +
@@ -323,6 +324,18 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
     see the chunk (union(1024) vs union(4096), docs/PERF.md round-3
     sims). Results are bit-identical: a skipped sub-block is one no ray
     of which can hit the chunk within its current best-t.
+
+    mxu_ref (a VMEM (n_chunks, 8, 2*chunk_size) f32 ref of per-chunk
+    A-matrices, built by mxu_sweep_amats) switches the culled chunk
+    sweeps to the MXU form: per register row r, one
+    dot_general(A_c^T, B_r) against B_r = the sublane-stacked
+    [d; o; 1; 0] components of that row yields c.d and (-2 c.o + kq)
+    for every (sphere, lane) pair at MXU rates; the remaining ~9 VPU
+    ops run on the (chunk_size, 128) candidate matrix and a
+    sublane-half tree argmin reduces it. NOT bit-identical to the VPU
+    sweep (matmul accumulation order differs from the FMA chain), so
+    it is an estimator-visible knob: flip it for all fused backends
+    together or not at all (statistical equivalence only).
 
     chunk_list_ref (an SMEM (n_chunks,) i32 scratch) switches the culled
     sweep to the BRANCHLESS LISTED form: every chunk's any-lane slab
@@ -517,6 +530,55 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
 
         S = ox.shape[0]
         use_sub = subcull > 0 and S > subcull and S % subcull == 0
+        use_mxu = mxu_ref is not None and culling and not use_sub
+
+        if use_mxu:
+            cs = chunk_size
+            ones_row = jnp.ones((1, 128), f32)
+            zeros_row = jnp.zeros((1, 128), f32)
+            # per-row [d; o; 1; 0] component stacks, hoisted per bounce
+            brows = [
+                jnp.concatenate(
+                    [dx[r:r + 1], dy[r:r + 1], dz[r:r + 1],
+                     ox[r:r + 1], oy[r:r + 1], oz[r:r + 1],
+                     ones_row, zeros_row], axis=0)
+                for r in range(S)
+            ]
+
+            def sweep_chunk(c, carry):
+                bt0, bi0 = carry[0], carry[1]
+                od_c, oo_c = carry[8], carry[9]
+                a_t = mxu_ref[c]  # (8, 2cs): [C^T | 0] over [0 | -2C^T;kq]
+                rows_t, rows_i = [], []
+                for r in range(S):
+                    out = jax.lax.dot_general(
+                        a_t, brows[r], (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST)  # (2cs, 128)
+                    b = out[0:cs] - od_c[r:r + 1]
+                    cq = oo_c[r:r + 1] + out[cs:2 * cs]
+                    sq = jnp.sqrt(b * b - cq)
+                    t0 = b - sq
+                    t1 = b + sq
+                    ts = jnp.where(t0 > MIN_T, t0, t1)
+                    ts = jnp.where((sq > 0.0) & (ts > MIN_T), ts, MAX_T)
+                    idx = jax.lax.broadcasted_iota(f32, (cs, 128), 0)
+                    h = cs
+                    while h > 1:  # first-index-wins sublane-half argmin
+                        h //= 2
+                        take = ts[h:2 * h] < ts[0:h]
+                        idx = jnp.where(take, idx[h:2 * h], idx[0:h])
+                        ts = jnp.minimum(ts[0:h], ts[h:2 * h])
+                    rows_t.append(ts)
+                    rows_i.append(idx)
+                ta = jnp.concatenate(rows_t, axis=0)  # (S, 128)
+                ia = (jnp.concatenate(rows_i, axis=0)
+                      + c.astype(f32) * f32(cs))
+                better = ta < bt0
+                return (jnp.where(better, ta, bt0),
+                        jnp.where(better, ia, bi0), *carry[2:])
+        else:
+            def sweep_chunk(c, carry):
+                return sweep_span_tree(c * chunk_size, chunk_size, carry)
 
         if culling:
             # seed best-t from the largest spheres before any cull test
@@ -553,7 +615,7 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                     cr = (jnp.concatenate(new_bt, 0),
                           jnp.concatenate(new_bi, 0)) + cr[2:]
                 else:
-                    cr = sweep_span_tree(c * chunk_size, chunk_size, cr)
+                    cr = sweep_chunk(c, cr)
                 return _inc(cr, -2) if stats else cr
 
             return jax.lax.cond(
@@ -588,8 +650,7 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
 
                     def sweep_body(j, cr2):
                         c = chunk_list_ref[j]
-                        return sweep_span_tree(c * chunk_size, chunk_size,
-                                               cr2)
+                        return sweep_chunk(c, cr2)
 
                     cr = jax.lax.fori_loop(0, cursor, sweep_body, cr)
                     if stats:
@@ -632,7 +693,7 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
 
                     def lbody(j, c2):
                         c = frustum_ref[trow, 1 + j]
-                        c2 = sweep_span_tree(c * chunk_size, chunk_size, c2)
+                        c2 = sweep_chunk(c, c2)
                         return _inc(c2, -2) if stats else c2
 
                     return jax.lax.fori_loop(
@@ -923,7 +984,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
                  n_super: int, full_height: int, stats: bool = False,
                  textures: bool = False, retr: bool = False,
                  lut_rows: int = 0, subcull: int = 0,
-                 listed: bool = False):
+                 listed: bool = False, mxu: bool = False):
     """chunk_size/n_chunks > 0 enable morton-chunk culled intersection
     (ops/bvh.py): whole-tile AABB slab tests skip chunk bodies (and, for
     big scenes, whole super-chunks of chunks).
@@ -952,6 +1013,10 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             retr_lut_ref, rest = rest[0], rest[1:]
         else:
             retr_lut_ref = None
+        if mxu:
+            mxu_ref, rest = rest[0], rest[1:]
+        else:
+            mxu_ref = None
         acc_in, acc_out = rest[0], rest[1]
         maybe_stats_ref = rest[2:]
         list_ref = rest[-1] if listed else None
@@ -989,7 +1054,7 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
             n_chunks=n_chunks, super_factor=super_factor, n_super=n_super,
             n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
             retr_lut_ref=retr_lut_ref, lut_rows=lut_rows, subcull=subcull,
-            chunk_list_ref=list_ref,
+            chunk_list_ref=list_ref, mxu_ref=mxu_ref,
         )
 
         inv_w = f32(1.0 / width)
@@ -1060,6 +1125,15 @@ def _make_kernel(width: int, height: int, spp: int, num_bounces: int,
 
 def _is_cpu() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _default_mxu_sweep() -> bool:
+    """Env-default for the MXU chunk sweep (WRT_MXU_SWEEP=1). Off until
+    measured on chip: the form is statistically equivalent but not
+    bit-identical to the VPU sweep (see _make_bounce)."""
+    import os
+
+    return os.environ.get("WRT_MXU_SWEEP", "0") == "1"
 
 
 def pack_camera(basis: CameraBasis) -> jnp.ndarray:
@@ -1273,12 +1347,30 @@ def prepare_scene_arrays(scene: Scene, basis: CameraBasis,
             n_super, tex_pool, retr_lut)
 
 
+def mxu_sweep_amats(s_attrs, chunk_size: int, n_chunks: int):
+    """Per-chunk A-matrices for the MXU closest-hit sweep: (n_chunks, 8,
+    2*chunk_size) f32 where columns [0, cs) hold C^T in rows 0-2 (dotted
+    against the ray direction) and columns [cs, 2cs) hold -2 C^T in rows
+    3-5 plus kq = |c|^2 - r^2 in row 6 (dotted against [o; 1]) — one
+    dot_general per register row then yields c.d and (-2 c.o + kq) for
+    every sphere of the chunk at once (see _make_bounce's mxu_ref)."""
+    cx, cy, cz, kq = s_attrs[0], s_attrs[1], s_attrs[2], s_attrs[-1]
+    cs = chunk_size
+    c3 = jnp.stack([cx, cy, cz], 0).reshape(3, n_chunks, cs)
+    c3 = c3.transpose(1, 0, 2)  # (n_chunks, 3, cs)
+    a = jnp.zeros((n_chunks, 8, 2 * cs), jnp.float32)
+    a = a.at[:, 0:3, 0:cs].set(c3)
+    a = a.at[:, 3:6, cs:].set(-2.0 * c3)
+    a = a.at[:, 6, cs:].set(kq.reshape(n_chunks, cs))
+    return a
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "tsub",
                      "chunk_size", "block_w", "super_factor", "full_height",
                      "interpret", "stats", "budget_texels", "subcull",
-                     "listed"),
+                     "listed", "mxu_sweep"),
 )
 def render_image_pallas(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -1303,6 +1395,7 @@ def render_image_pallas(
     budget_texels: int = DEFAULT_TEXTURE_BUDGET,
     subcull: int = 0,
     listed: bool = False,
+    mxu_sweep: bool | None = None,
 ) -> jnp.ndarray:
     """One progressive frame via the fused megakernel; drop-in for
     ops.tracer.render_image. Image textures are sampled in-kernel from a
@@ -1367,12 +1460,15 @@ def render_image_pallas(
     # bypass the super level: RTiOW 532->526, random10k 153->113 Mrays/s
     # — docs/PERF.md round 3), so the default stays the cond sweep.
     listed = bool(listed) and n_chunks > 0
+    if mxu_sweep is None:
+        mxu_sweep = _default_mxu_sweep()
+    mxu = bool(mxu_sweep) and n_chunks > 0 and subcull == 0
     kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
                           chunk_size, n_chunks, block_w, tiles_x,
                           super_factor, n_super, full_height, stats=stats,
                           retr=retr, lut_rows=lut_rows,
                           textures=textures, subcull=subcull,
-                          listed=listed)
+                          listed=listed, mxu=mxu)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     acc_spec = pl.BlockSpec((3, tsub, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
@@ -1390,6 +1486,9 @@ def render_image_pallas(
         pool_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     if retr:
         pool_inputs.append(retr_lut)
+        pool_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if mxu:
+        pool_inputs.append(mxu_sweep_amats(s_attrs, chunk_size, n_chunks))
         pool_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     n_in = 3 + len(s_attrs) + 13 + len(pool_inputs)
     list_scratch = ([pltpu.SMEM((max(n_chunks, 1),), jnp.int32)]

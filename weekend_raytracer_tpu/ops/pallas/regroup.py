@@ -130,7 +130,8 @@ def default_cuts(num_bounces: int, n_spheres: int = None) -> tuple:
 def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
              super_factor, n_super, tiles_x, block_w, spp_shift,
              textures=False, frustum=False, full_height=None,
-             retr=False, lut_rows=0, export_key=False, listed=False):
+             retr=False, lut_rows=0, export_key=False, listed=False,
+             mxu=False):
     """Camera + bounces [0, b1); dumps the pool (per-lane homes) and the
     contribution image (final radiance for terminated paths, else 0).
 
@@ -164,6 +165,10 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             frustum_ref, rest = rest[0], rest[1:]
         else:
             frustum_ref = None
+        if mxu:
+            mxu_ref, rest = rest[0], rest[1:]
+        else:
+            mxu_ref = None
         pool_ref, contrib_ref = rest[0], rest[1]
         list_ref = rest[-1] if listed else None
         t = pl.program_id(0)
@@ -194,7 +199,7 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             tex_pool_ref=tex_pool_ref, frustum_ref=frustum_ref,
             frustum_row=t % 8, retr_lut_ref=retr_lut_ref,
             lut_rows=lut_rows, export_hit=bool(export_key),
-            chunk_list_ref=list_ref,
+            chunk_list_ref=list_ref, mxu_ref=mxu_ref,
         )
         state, ox, oy, oz, dx, dy, dz = _camera_ray(
             cam_ref, x.astype(f32), y_g.astype(f32),
@@ -415,7 +420,8 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
              width, height, spp, tiles_x, block_w, spp_shift,
              textures=False, stats=False, tsub1=32, retr=False,
-             lut_rows=0, subcull=0, listed=False, emit_r8=False):
+             lut_rows=0, subcull=0, listed=False, emit_r8=False,
+             mxu=False):
     # frame_ref is [frame, row_offset] u32: home slots are shard-local,
     # but RNG seeds derive from GLOBAL pixel ids (see _make_k0).
     """Resume bounces [b_lo, b_hi) over the dense pool (1:1 rows).
@@ -449,6 +455,10 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
             retr_lut_ref, rest = rest[0], rest[1:]
         else:
             retr_lut_ref = None
+        if mxu:
+            mxu_ref, rest = rest[0], rest[1:]
+        else:
+            mxu_ref = None
         cpool_ref, pool_out_ref = rest[0], rest[1]
         rest = rest[2:]
         if emit_r8:
@@ -473,7 +483,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                 super_factor=super_factor, n_super=n_super,
                 n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
                 retr_lut_ref=retr_lut_ref, lut_rows=lut_rows,
-                subcull=subcull, chunk_list_ref=list_ref,
+                subcull=subcull, chunk_list_ref=list_ref, mxu_ref=mxu_ref,
             )
 
             # The tile is processed in independent (tsub1, 128) sub-blocks,
@@ -657,7 +667,8 @@ def _make_level_kernel():
     static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
                      "super_factor", "cuts", "k1_chunk_size", "k1_tsub",
                      "k1_subcull", "full_height", "interpret",
-                     "debug_counts", "budget_texels", "listed"),
+                     "debug_counts", "budget_texels", "listed",
+                     "mxu_sweep"),
 )
 def render_image_regrouped(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -683,6 +694,7 @@ def render_image_regrouped(
     debug_counts: bool = False,
     budget_texels: int | None = None,
     listed: bool = False,
+    mxu_sweep: bool | None = None,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -792,25 +804,37 @@ def render_image_regrouped(
     # PERF.md round 3), kept as a knob.
     listed0 = listed and n_chunks > 0
     listed1 = listed and n_chunks1 > 0
+    if mxu_sweep is None:
+        from .megakernel import _default_mxu_sweep
+
+        mxu_sweep = _default_mxu_sweep()
+    mxu0 = bool(mxu_sweep) and n_chunks > 0
+    mxu1 = bool(mxu_sweep) and n_chunks1 > 0 and k1_subcull == 0
+    mxu_inputs0, mxu_specs0 = [], []
+    if mxu0:
+        from .megakernel import mxu_sweep_amats
+
+        mxu_inputs0 = [mxu_sweep_amats(s_attrs, chunk_size, n_chunks)]
+        mxu_specs0 = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     lscr = lambda n: [pltpu.SMEM((max(n, 1),), jnp.int32)]
     k0 = _make_k0(width, height, spp, cuts[0], n_spheres, chunk_size,
                   n_chunks, super_factor, n_super, tiles_x, block_w,
                   spp_shift, textures=textures, frustum=frustum,
                   full_height=full_height, retr=retr, lut_rows=lut_rows,
-                  listed=listed0)
+                  listed=listed0, mxu=mxu0)
     meta0 = jnp.stack([frame.astype(jnp.uint32),
                        jnp.asarray(row_offset).astype(jnp.uint32)])
     pool, contrib = pl.pallas_call(
         k0,
         grid=(n_tiles,),
         in_specs=[smem(), smem(), smem()] + scene_specs + pool_specs
-        + fr_specs,
+        + fr_specs + mxu_specs0,
         out_specs=(pool_blk(), contrib_blk()),
         out_shape=(pool_shape, contrib_shape),
         scratch_shapes=lscr(n_chunks) if listed0 else [],
         interpret=interpret,
     )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
-      *pool_inputs, *fr_inputs)
+      *pool_inputs, *fr_inputs, *mxu_inputs0)
 
     count = jnp.asarray([n_rows], jnp.int32)
 
@@ -886,10 +910,16 @@ def render_image_regrouped(
                           n_super1, width, height, spp, tiles_x, block_w,
                           spp_shift, textures=textures, tsub1=k1_tsub,
                           retr=retr1, lut_rows=lut_rows1,
-                          subcull=k1_subcull, listed=listed1, emit_r8=True)
+                          subcull=k1_subcull, listed=listed1, emit_r8=True,
+                          mxu=mxu1)
             pool_inputs1 = [tex_pool1] if textures else []
             if retr1:
                 pool_inputs1.append(retr_lut1)
+            if mxu1:
+                from .megakernel import mxu_sweep_amats
+
+                pool_inputs1.append(mxu_sweep_amats(
+                    s_attrs1, k1_chunk_size, n_chunks1))
             pool_specs1 = [pl.BlockSpec(memory_space=pltpu.VMEM)
                            for _ in pool_inputs1]
         meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
