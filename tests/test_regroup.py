@@ -215,3 +215,30 @@ def test_listed_sweep_bit_identical(rtiow):
     lst = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
                                             cuts=(2,), listed=True, **kw))
     np.testing.assert_array_equal(lst, ref)
+
+
+def test_mxu_sweep_statistical_equivalence(rtiow):
+    """mxu_sweep=True computes the chunk sweeps via per-row dot_general
+    (megakernel.mxu_sweep_amats): matmul accumulation order differs from
+    the FMA chain, so pixels are NOT bit-identical — the right assertion
+    is statistical (MC paths diverge chaotically at silhouettes under
+    last-ulp t differences). The estimator must agree in mean radiance
+    and almost all pixels must match exactly; megakernel and regroup
+    must produce the same estimator under the knob as without it."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=6)
+    ref = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
+                                            cuts=(2,), **kw))
+    mxu = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
+                                            cuts=(2,), mxu_sweep=True,
+                                            **kw))
+    assert abs(mxu.mean() - ref.mean()) / ref.mean() < 2e-3
+    assert (mxu == ref).mean() > 0.5  # most paths untouched by the ulp
+
+    from weekend_raytracer_tpu.ops.pallas.megakernel import (
+        render_image_pallas,
+    )
+
+    mega = np.asarray(render_image_pallas(*_args(scene, sky, basis),
+                                          mxu_sweep=True, **kw))
+    assert abs(mega.mean() - ref.mean()) / ref.mean() < 2e-3
