@@ -406,7 +406,6 @@ def p7(precision="highest"):
         print("P7 rowdot form: FAILS —", str(e).split("\n")[0][:300])
         return
     # reference: numpy closest-hit
-    ts_all = np.full((n_spheres, n_rays), MAX_T, np.float32)
     cd = c @ d
     co = c @ o
     od = (o * d).sum(0)

@@ -563,7 +563,11 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                     ts = jnp.where((sq > 0.0) & (ts > MIN_T), ts, MAX_T)
                     idx = jax.lax.broadcasted_iota(f32, (cs, 128), 0)
                     h = cs
-                    while h > 1:  # first-index-wins sublane-half argmin
+                    # sublane-half tree argmin; NOTE on exact t ties the
+                    # half-tree may keep a different sphere index than the
+                    # VPU pairwise merge (acceptable: the knob is only
+                    # statistically equivalent anyway)
+                    while h > 1:
                         h //= 2
                         take = ts[h:2 * h] < ts[0:h]
                         idx = jnp.where(take, idx[h:2 * h], idx[0:h])
@@ -1372,7 +1376,7 @@ def mxu_sweep_amats(s_attrs, chunk_size: int, n_chunks: int):
                      "interpret", "stats", "budget_texels", "subcull",
                      "listed", "mxu_sweep"),
 )
-def render_image_pallas(
+def _render_image_pallas_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
     frame: jnp.ndarray,  # u32 scalar
     clear: jnp.ndarray,  # bool scalar
@@ -1395,7 +1399,7 @@ def render_image_pallas(
     budget_texels: int = DEFAULT_TEXTURE_BUDGET,
     subcull: int = 0,
     listed: bool = False,
-    mxu_sweep: bool | None = None,
+    mxu_sweep: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the fused megakernel; drop-in for
     ops.tracer.render_image. Image textures are sampled in-kernel from a
@@ -1460,9 +1464,10 @@ def render_image_pallas(
     # bypass the super level: RTiOW 532->526, random10k 153->113 Mrays/s
     # — docs/PERF.md round 3), so the default stays the cond sweep.
     listed = bool(listed) and n_chunks > 0
-    if mxu_sweep is None:
-        mxu_sweep = _default_mxu_sweep()
-    mxu = bool(mxu_sweep) and n_chunks > 0 and subcull == 0
+    # the sublane-half argmin needs a power-of-two chunk (review finding:
+    # a 24-sphere chunk would silently drop candidates in the tree)
+    mxu = (bool(mxu_sweep) and n_chunks > 0 and subcull == 0
+           and chunk_size & (chunk_size - 1) == 0)
     kernel = _make_kernel(width, height, spp, num_bounces, n_spheres, tsub,
                           chunk_size, n_chunks, block_w, tiles_x,
                           super_factor, n_super, full_height, stats=stats,
@@ -1517,3 +1522,16 @@ def render_image_pallas(
     if stats:
         return img, stats_arr
     return img
+
+
+def render_image_pallas(*args, mxu_sweep: bool | None = None, **kwargs):
+    """Public entry: resolves the WRT_MXU_SWEEP env default eagerly so the
+    jit cache keys on the concrete bool (an env flip mid-process would
+    otherwise be silently ignored via the cached None trace)."""
+    if mxu_sweep is None:
+        mxu_sweep = _default_mxu_sweep()
+    return _render_image_pallas_jit(*args, mxu_sweep=bool(mxu_sweep),
+                                    **kwargs)
+
+
+render_image_pallas.__wrapped__ = _render_image_pallas_jit

@@ -670,7 +670,7 @@ def _make_level_kernel():
                      "debug_counts", "budget_texels", "listed",
                      "mxu_sweep"),
 )
-def render_image_regrouped(
+def _render_image_regrouped_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
     frame: jnp.ndarray,  # u32 scalar
     clear: jnp.ndarray,  # bool scalar
@@ -694,7 +694,7 @@ def render_image_regrouped(
     debug_counts: bool = False,
     budget_texels: int | None = None,
     listed: bool = False,
-    mxu_sweep: bool | None = None,
+    mxu_sweep: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -804,16 +804,15 @@ def render_image_regrouped(
     # PERF.md round 3), kept as a knob.
     listed0 = listed and n_chunks > 0
     listed1 = listed and n_chunks1 > 0
-    if mxu_sweep is None:
-        from .megakernel import _default_mxu_sweep
+    from .megakernel import mxu_sweep_amats
 
-        mxu_sweep = _default_mxu_sweep()
-    mxu0 = bool(mxu_sweep) and n_chunks > 0
-    mxu1 = bool(mxu_sweep) and n_chunks1 > 0 and k1_subcull == 0
+    # the sublane-half argmin needs power-of-two chunks (review finding)
+    mxu0 = (bool(mxu_sweep) and n_chunks > 0
+            and chunk_size & (chunk_size - 1) == 0)
+    mxu1 = (bool(mxu_sweep) and n_chunks1 > 0 and k1_subcull == 0
+            and k1_chunk_size & (k1_chunk_size - 1) == 0)
     mxu_inputs0, mxu_specs0 = [], []
     if mxu0:
-        from .megakernel import mxu_sweep_amats
-
         mxu_inputs0 = [mxu_sweep_amats(s_attrs, chunk_size, n_chunks)]
         mxu_specs0 = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     lscr = lambda n: [pltpu.SMEM((max(n, 1),), jnp.int32)]
@@ -916,8 +915,6 @@ def render_image_regrouped(
             if retr1:
                 pool_inputs1.append(retr_lut1)
             if mxu1:
-                from .megakernel import mxu_sweep_amats
-
                 pool_inputs1.append(mxu_sweep_amats(
                     s_attrs1, k1_chunk_size, n_chunks1))
             pool_specs1 = [pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1007,3 +1004,18 @@ def render_image_regrouped(
         return out, (jnp.asarray([n_rows], jnp.int32),) + tuple(
             ph[1] for ph in phases)
     return out
+
+
+def render_image_regrouped(*args, mxu_sweep: bool | None = None, **kwargs):
+    """Public entry: resolves the WRT_MXU_SWEEP env default eagerly so the
+    jit cache keys on the concrete bool (an env flip mid-process would
+    otherwise be silently ignored via the cached None trace)."""
+    from .megakernel import _default_mxu_sweep
+
+    if mxu_sweep is None:
+        mxu_sweep = _default_mxu_sweep()
+    return _render_image_regrouped_jit(*args, mxu_sweep=bool(mxu_sweep),
+                                       **kwargs)
+
+
+render_image_regrouped.__wrapped__ = _render_image_regrouped_jit

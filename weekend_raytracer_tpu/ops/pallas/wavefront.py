@@ -65,7 +65,7 @@ N_COMP = 15
 
 def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
              super_factor, n_super, tiles_x, block_w, block_h, spp_shift,
-             textures=False, retr=False, lut_rows=0):
+             textures=False, retr=False, lut_rows=0, mxu=False):
     """Camera generation + bounces [0, b1) + pool/contribution dump.
 
     Lane mapping folds samples into lanes: within a tile's (32, 128) block,
@@ -89,6 +89,10 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             retr_lut_ref, rest = rest[0], rest[1:]
         else:
             retr_lut_ref = None
+        if mxu:
+            mxu_ref, rest = rest[0], rest[1:]
+        else:
+            mxu_ref = None
         pool_ref, contrib_ref = rest[0], rest[1]
         t = pl.program_id(0)
         frame = meta_ref[0]
@@ -119,7 +123,7 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             num_bounces=b1, chunk_size=chunk_size, n_chunks=n_chunks,
             super_factor=super_factor, n_super=n_super, n_spheres=n_spheres,
             tex_pool_ref=tex_pool_ref, retr_lut_ref=retr_lut_ref,
-            lut_rows=lut_rows,
+            lut_rows=lut_rows, mxu_ref=mxu_ref,
         )
 
         # thin-lens camera ray (wgsl:105-122, 456-478)
@@ -195,7 +199,7 @@ def _compact_kernel(count_in_ref, pool_ref, cpool_hbm, count_out_ref,
 
 
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
-             textures=False, retr=False, lut_rows=0):
+             textures=False, retr=False, lut_rows=0, mxu=False):
     """Resume bounces [b_lo, b_hi) over the compacted pool; write the
     updated pool in place (1:1 rows) and DMA each row's contribution to
     its home slot. b_lo/b_hi are runtime scalars — one compilation serves
@@ -216,6 +220,10 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
             retr_lut_ref, rest = rest[0], rest[1:]
         else:
             retr_lut_ref = None
+        if mxu:
+            mxu_ref, rest = rest[0], rest[1:]
+        else:
+            mxu_ref = None
         # rest = cpool in, contrib in (aliased to out), pool out,
         #        contrib out (same buffer as contrib in), then scratch
         cpool_ref, pool_out_ref, contrib_hbm = rest[0], rest[2], rest[3]
@@ -246,6 +254,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                 super_factor=super_factor, n_super=n_super,
                 n_spheres=n_spheres, tex_pool_ref=tex_pool_ref,
                 retr_lut_ref=retr_lut_ref, lut_rows=lut_rows,
+                mxu_ref=mxu_ref,
             )
             carry = (b_lo, ox, oy, oz, dx, dy, dz,
                      tr, tg, tb, cr, cg, cb, alive_f, state)
@@ -304,9 +313,9 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
                      "super_factor", "phase_cuts", "interpret",
-                     "debug_counts", "budget_texels"),
+                     "debug_counts", "budget_texels", "mxu_sweep"),
 )
-def render_image_wavefront(
+def _render_image_wavefront_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
     frame: jnp.ndarray,  # u32 scalar
     clear: jnp.ndarray,  # bool scalar
@@ -324,6 +333,7 @@ def render_image_wavefront(
     interpret: bool | None = None,
     debug_counts: bool = False,
     budget_texels: int | None = None,
+    mxu_sweep: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the compacted wavefront; drop-in for
     render_image / render_image_pallas.
@@ -377,12 +387,19 @@ def render_image_wavefront(
     if retr:
         pool_inputs.append(retr_lut)
         pool_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    mxu = (bool(mxu_sweep) and n_chunks > 0
+           and chunk_size & (chunk_size - 1) == 0)
+    if mxu:
+        from .megakernel import mxu_sweep_amats
+
+        pool_inputs.append(mxu_sweep_amats(s_attrs, chunk_size, n_chunks))
+        pool_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     b1 = cuts[0] if cuts else num_bounces
     k0 = _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
                   super_factor, n_super, tiles_x, block_w, block_h,
                   spp_shift, textures=textures, retr=retr,
-                  lut_rows=lut_rows)
+                  lut_rows=lut_rows, mxu=mxu)
     meta0 = jnp.stack([frame.astype(jnp.uint32)])
     pool, contrib = pl.pallas_call(
         k0,
@@ -439,7 +456,7 @@ def render_image_wavefront(
         if k1 is None:
             k1 = _make_k1(n_spheres, chunk_size, n_chunks, super_factor,
                           n_super, textures=textures, retr=retr,
-                          lut_rows=lut_rows)
+                          lut_rows=lut_rows, mxu=mxu)
         meta1 = jnp.asarray([b_lo, b_hi], jnp.int32)
         pool, contrib = pl.pallas_call(
             k1,
@@ -482,3 +499,18 @@ def render_image_wavefront(
     if debug_counts:
         return out, (jnp.asarray([n_rows], jnp.int32),) + tuple(counts)
     return out
+
+
+def render_image_wavefront(*args, mxu_sweep: bool | None = None, **kwargs):
+    """Public entry: resolves the WRT_MXU_SWEEP env default eagerly so the
+    jit cache keys on the concrete bool (an env flip mid-process would
+    otherwise be silently ignored via the cached None trace)."""
+    from .megakernel import _default_mxu_sweep
+
+    if mxu_sweep is None:
+        mxu_sweep = _default_mxu_sweep()
+    return _render_image_wavefront_jit(*args, mxu_sweep=bool(mxu_sweep),
+                                       **kwargs)
+
+
+render_image_wavefront.__wrapped__ = _render_image_wavefront_jit
