@@ -77,6 +77,8 @@ def main() -> None:
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / 1.0e9, 4),
         "backend": backend,
+        "sweep": ("mxu" if os.environ.get("WRT_MXU_SWEEP", "0") == "1"
+                  else "vpu"),
         "device": str(jax.devices()[0]),
         "seconds_per_100spp_frame": round(seconds_per_frame_100spp, 3),
         "spheres": desc.num_spheres,
