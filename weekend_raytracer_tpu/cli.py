@@ -54,6 +54,11 @@ def main(argv=None) -> int:
                         "cook sky coefficients exactly like the "
                         "reference's hw_skymodel crate instead of the "
                         "built-in Preetham fit (also: WRT_HW_DATASET)")
+    p.add_argument("--mxu-sweep", action="store_true",
+                   help="run the closest-hit chunk sweeps on the MXU "
+                        "(per-chunk matmuls) instead of the VPU FMA "
+                        "chain — statistically equivalent, not "
+                        "bit-identical (also: WRT_MXU_SWEEP=1)")
     p.add_argument("--stats-json", action="store_true",
                    help="print render stats as one JSON line")
     args = p.parse_args(argv)
@@ -103,7 +108,8 @@ def main(argv=None) -> int:
         )
     renderer = Renderer(scene, params, backend=backend, mesh=mesh,
                         budget_texels=args.texture_budget,
-                        hw_dataset=args.hw_dataset)
+                        hw_dataset=args.hw_dataset,
+                        mxu_sweep=True if args.mxu_sweep else None)
     backend = renderer.backend
     import os
 

@@ -96,6 +96,7 @@ def render_image_sharded(
     backend: str = "xla",
     aim_height: Optional[int] = None,
     budget_texels: Optional[int] = None,
+    mxu_sweep: Optional[bool] = None,
 ) -> jnp.ndarray:
     """One progressive frame over the mesh; returns the new accumulator.
 
@@ -157,6 +158,7 @@ def render_image_sharded(
                 row_offset=(tile_idx * block_rows).astype(jnp.uint32),
                 full_height=aim_height,
                 budget_texels=budget_texels,
+                mxu_sweep=mxu_sweep,
             )
         elif backend == "pallas":
             from ..ops.pallas.megakernel import render_image_pallas
@@ -168,6 +170,7 @@ def render_image_sharded(
                 num_bounces=num_bounces,
                 row_offset=(tile_idx * block_rows).astype(jnp.uint32),
                 full_height=aim_height,
+                mxu_sweep=mxu_sweep,
                 **({} if budget_texels is None
                    else {"budget_texels": budget_texels}),
             )

@@ -125,11 +125,18 @@ class Renderer:
         given (or WRT_HW_DATASET is set), sky coefficients are cooked
         exactly like the reference's hw_skymodel crate instead of the
         built-in Preetham-derived fit (models/hw_dataset.py).
+    mxu_sweep : run the fused kernels' closest-hit chunk sweeps on the
+        MXU (per-row dot_general against per-chunk A-matrices) instead
+        of the VPU FMA chain. Statistically equivalent, NOT
+        bit-identical (docs/PERF.md); None defers to WRT_MXU_SWEEP
+        (default off). Ignored by the XLA backend and unculled tiny
+        scenes.
     """
 
     def __init__(self, scene, params: RenderParams, backend: str = "auto",
                  mesh=None, budget_texels: Optional[int] = None,
-                 hw_dataset: Optional[str] = None):
+                 hw_dataset: Optional[str] = None,
+                 mxu_sweep: Optional[bool] = None):
         from .utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -144,6 +151,7 @@ class Renderer:
         self.mesh = mesh
         self.budget_texels = budget_texels
         self.hw_dataset = hw_dataset
+        self.mxu_sweep = mxu_sweep
         self.backend = self._resolve_backend(params)
         self._params = params
         self._progress = RenderProgress()
@@ -263,8 +271,14 @@ class Renderer:
         w, h = self._params.viewport_size
         hp = self._padded_height()
         n_spheres = int(self._scene.spheres.centers.shape[0])
+        # Resolve the env-default NOW: the step fn below is jitted again,
+        # so a trace-time env read would be baked into this cache entry.
+        from .ops.pallas.megakernel import _default_mxu_sweep
+
+        mxu = (self.mxu_sweep if self.mxu_sweep is not None
+               else _default_mxu_sweep())
         key = (self.backend, w, h, spp, bounces, n_spheres,
-               self.budget_texels)
+               self.budget_texels, mxu)
         bt = ({} if self.budget_texels is None
               else {"budget_texels": self.budget_texels})
         if key not in self._step_cache:
@@ -281,6 +295,7 @@ class Renderer:
                     mesh=self.mesh,
                     backend=self.backend,
                     budget_texels=self.budget_texels,
+                    mxu_sweep=mxu,
                 )
             elif self.backend == "regroup":
                 from .ops.pallas.regroup import (
@@ -295,6 +310,7 @@ class Renderer:
                     spp=spp,
                     num_bounces=bounces,
                     cuts=default_cuts(bounces, n_spheres),
+                    mxu_sweep=mxu,
                     **bt,
                 )
             elif self.backend == "wavefront":
@@ -306,6 +322,7 @@ class Renderer:
                     height=h,
                     spp=spp,
                     num_bounces=bounces,
+                    mxu_sweep=mxu,
                     **bt,
                 )
             elif self.backend == "pallas":
@@ -317,6 +334,7 @@ class Renderer:
                     height=h,
                     spp=spp,
                     num_bounces=bounces,
+                    mxu_sweep=mxu,
                     **bt,
                 )
             else:
