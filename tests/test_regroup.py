@@ -242,3 +242,24 @@ def test_mxu_sweep_statistical_equivalence(rtiow):
     mega = np.asarray(render_image_pallas(*_args(scene, sky, basis),
                                           mxu_sweep=True, **kw))
     assert abs(mega.mean() - ref.mean()) / ref.mean() < 2e-3
+
+
+def test_default_cuts_scene_aware():
+    """Small scenes keep the round-2 single-cut schedule (per-phase fixed
+    costs dwarf their tiny sweeps: three-sphere 720p measured 1796 Mrays/s
+    at (3,) vs 1284 at (2,4,6)); large scenes keep the multi-cut winner.
+    Every schedule is clipped to the bounce budget and never empty."""
+    from weekend_raytracer_tpu.ops.pallas.regroup import default_cuts
+
+    assert default_cuts(8) == (2, 4, 6)        # no scene info -> large
+    assert default_cuts(8, 486) == (2, 4, 6)   # RTiOW
+    assert default_cuts(8, 10000) == (2, 4, 6)
+    assert default_cuts(8, 5) == (3,)          # three-sphere
+    assert default_cuts(10, 2) == (3,)
+    assert default_cuts(3, 5) == (2,)          # clipped, never empty
+    assert default_cuts(2, 5) == (1,)
+    assert default_cuts(3) == (2,)
+    for nb in range(2, 11):
+        for ns in (None, 1, 64, 65, 500):
+            cuts = default_cuts(nb, ns)
+            assert cuts and all(0 < c < nb for c in cuts), (nb, ns, cuts)
