@@ -56,6 +56,9 @@ def main() -> None:
     renderer.render_frame()
     renderer.sync()
 
+    from weekend_raytracer_tpu.ops.pallas.megakernel import (
+        _default_mxu_sweep,
+    )
     from weekend_raytracer_tpu.utils.metrics import profiler_trace
 
     t0 = time.perf_counter()
@@ -77,9 +80,11 @@ def main() -> None:
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / 1.0e9, 4),
         "backend": backend,
-        "sweep": ("mxu" if os.environ.get("WRT_MXU_SWEEP", "0") == "1"
-                  else "vpu"),
+        "sweep": "mxu" if _default_mxu_sweep() else "vpu",
         "device": str(jax.devices()[0]),
+        # which sky actually rendered (exact HW dataset vs built-in fit;
+        # VERDICT r3 #7 — every recorded number states its sky)
+        "sky": renderer.sky_model(),
         "seconds_per_100spp_frame": round(seconds_per_frame_100spp, 3),
         "spheres": desc.num_spheres,
         "spp_timed": spp_timed,

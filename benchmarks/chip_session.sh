@@ -1,27 +1,50 @@
 #!/bin/bash
-# One serialized chip session: pending ladder re-measure + MXU probes +
-# MXU frame sweeps. Everything logs to /tmp/chip_*.log; single compile
-# queue, so strictly sequential.
+# Round-4 serialized chip session. Ordered most-valuable-first so a
+# tunnel drop mid-session still leaves the headline verified:
+#   1. bench.py (driver-format headline, VPU)        <- VERDICT r3 #1
+#   2. VPU-vs-MXU frames, both headline scenes       <- VERDICT r3 #2
+#   3. full ladder on the r4 harness                 <- VERDICT r3 #6
+#   4. phase profile of the non-sweep floor          <- VERDICT r3 #3
+#   5. MXU capability probes (diagnosis detail)
+# Logs land in benchmarks/chip_logs/ (committed). Single remote-compile
+# queue -> strictly sequential; expect ~5 min/first-compile per variant.
 set +e
 cd /root/repo
+mkdir -p benchmarks/chip_logs
+L=benchmarks/chip_logs
 
-echo "=== 1. ladder small-scene configs (scene-aware cuts) ==="
-python benchmarks/ladder.py --configs 1,2,4 2>/tmp/chip_ladder.err | tee /tmp/chip_ladder.jsonl
+echo "=== 0. probe ==="
+timeout 120 python -c "
+import jax, jax.numpy as jnp
+assert float(jnp.ones((8,128)).sum()) == 1024.0
+print('chip ok:', jax.devices()[0])" || { echo "chip down; abort"; exit 1; }
 
-echo "=== 2. MXU probes ==="
-python benchmarks/probe_mxu_sweep.py p8 p8c16 p5 p7 p3 p1 p4 p6 2>/tmp/chip_probe.err | tee /tmp/chip_probe.log
+echo "=== 1. bench.py headline (VPU) ==="
+timeout 1800 python bench.py 2>"$L/bench_vpu.err" | tee "$L/bench_vpu.json"
 
-echo "=== 3. RTiOW frames: VPU vs MXU ==="
-WRT_SPP=32 python benchmarks/sweep_wavefront.py rtiow nomk r2,4,6 2>/dev/null | tee /tmp/chip_rtiow_vpu.log
-WRT_MXU_SWEEP=1 WRT_SPP=32 python benchmarks/sweep_wavefront.py rtiow nomk r2,4,6 2>/tmp/chip_rtiow_mxu.err | tee /tmp/chip_rtiow_mxu.log
+echo "=== 2a. RTiOW frames: VPU vs MXU ==="
+WRT_SPP=32 timeout 1800 python benchmarks/sweep_wavefront.py rtiow nomk r2,4,6 2>"$L/rtiow_vpu.err" | tee "$L/rtiow_vpu.log"
+WRT_MXU_SWEEP=1 WRT_SPP=32 timeout 1800 python benchmarks/sweep_wavefront.py rtiow nomk r2,4,6 2>"$L/rtiow_mxu.err" | tee "$L/rtiow_mxu.log"
 
-echo "=== 4. random10k frames: VPU vs MXU ==="
-WRT_SPP=8 python benchmarks/sweep_wavefront.py 10k nomk r2,4,6 2>/dev/null | tee /tmp/chip_10k_vpu.log
-WRT_MXU_SWEEP=1 WRT_SPP=8 python benchmarks/sweep_wavefront.py 10k nomk r2,4,6 2>/tmp/chip_10k_mxu.err | tee /tmp/chip_10k_mxu.log
+echo "=== 2b. random10k frames: VPU vs MXU ==="
+WRT_SPP=8 timeout 1800 python benchmarks/sweep_wavefront.py 10k nomk r2,4,6 2>"$L/10k_vpu.err" | tee "$L/10k_vpu.log"
+WRT_MXU_SWEEP=1 WRT_SPP=8 timeout 1800 python benchmarks/sweep_wavefront.py 10k nomk r2,4,6 2>"$L/10k_mxu.err" | tee "$L/10k_mxu.log"
+
+echo "=== 2c. bench.py headline (MXU) ==="
+WRT_MXU_SWEEP=1 timeout 1800 python bench.py 2>"$L/bench_mxu.err" | tee "$L/bench_mxu.json"
+
+echo "=== 2d. MXU estimator equivalence at convergence ==="
+timeout 2400 python benchmarks/mxu_equiv.py 256 2>"$L/mxu_equiv.err" | tee "$L/mxu_equiv.jsonl"
+
+echo "=== 3. ladder, all configs, r4 harness ==="
+timeout 3600 python benchmarks/ladder.py 2>"$L/ladder.err" | tee "$L/ladder_r4.jsonl"
+
+echo "=== 4. phase profile (non-sweep floor decomposition) ==="
+timeout 2400 python benchmarks/profile_regroup.py rtiow 2>"$L/prof_rtiow_vpu.err" | tee "$L/prof_rtiow_vpu.jsonl"
+WRT_MXU_SWEEP=1 timeout 2400 python benchmarks/profile_regroup.py rtiow 2>"$L/prof_rtiow_mxu.err" | tee "$L/prof_rtiow_mxu.jsonl"
+timeout 2400 python benchmarks/profile_regroup.py random10k 2>"$L/prof_10k_vpu.err" | tee "$L/prof_10k_vpu.jsonl"
+
+echo "=== 5. MXU probes ==="
+timeout 3600 python benchmarks/probe_mxu_sweep.py p8 p8c16 p5 p7 p3 p1 p4 p6 2>"$L/probe_mxu.err" | tee "$L/probe_mxu.log"
 
 echo "=== chip session done ==="
-
-# Provenance: queued during the round-3 axon outage (11+ h). Run this
-# first when the chip returns; it answers, in order: the small-scene
-# ladder re-measure (scene-aware cuts), every MXU-sweep capability
-# probe, and the VPU-vs-MXU frame comparison on both headline scenes.

@@ -19,6 +19,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Timing-methodology revision, stamped into every result row so
+# results_tpu_v5e.jsonl rows from different rounds/harnesses are
+# distinguishable (VERDICT r3 #6). Bump when run_config's protocol or
+# any config's shape/spp/fold changes.
+HARNESS = "r4"
+
 
 def run_config(name, desc, cam, size, spp, spp_frame, bounces, backend="auto"):
     from weekend_raytracer_tpu import RenderParams, Renderer, SamplingParams
@@ -43,9 +49,16 @@ def run_config(name, desc, cam, size, spp, spp_frame, bounces, backend="auto"):
     dt = time.perf_counter() - t0
     spp_timed = frames * spp_frame
     rays = size[0] * size[1] * spp_timed * bounces
+    from weekend_raytracer_tpu.ops.pallas.megakernel import (
+        _default_mxu_sweep,
+    )
+
     print(json.dumps({
         "config": name,
+        "harness": HARNESS,
         "backend": r.backend,
+        "sweep": "mxu" if _default_mxu_sweep() else "vpu",
+        "sky": r.sky_model(),
         "size": list(size),
         "spheres": desc.num_spheres,
         "spp": spp,

@@ -240,17 +240,25 @@ def _fit_hw_params(cos_theta, gamma, target, x0) -> np.ndarray | None:
     return res.x
 
 
-def sky_model_name(hw_dataset_path: str | None = None) -> str:
-    """Which sky model a render with this configuration uses: the exact
-    Hosek-Wilkie 2012 dataset cooking when a dataset is available
-    (``hw_dataset_path`` or WRT_HW_DATASET), else the built-in
-    Preetham-derived fit. Surfaced by the CLI so every render states its
-    sky provenance plainly (VERDICT r2 #2)."""
-    import os
+SKY_MODEL_EXACT = "hosek-wilkie-2012-exact"
+SKY_MODEL_FIT = "preetham-fit-builtin"
 
-    if hw_dataset_path or os.environ.get("WRT_HW_DATASET"):
-        return "hosek-wilkie-2012-exact"
-    return "preetham-fit-builtin"
+
+def resolve_sky_state(sky: SkyParams, exposure_scale: float = 1.0,
+                      hw_dataset_path: str | None = None,
+                      ) -> tuple[SkyState, str]:
+    """``to_sky_state`` plus the name of the model that ACTUALLY produced
+    the state — derived from whether the exact dataset cooking returned,
+    not from the configuration alone, so provenance stats can never name
+    a model the render didn't use (ADVICE r3 #2). Surfaced by the CLI /
+    bench.py so every render states its sky provenance plainly."""
+    from .hw_dataset import to_sky_state_hw
+
+    exact = to_sky_state_hw(sky, hw_dataset_path, exposure_scale)
+    if exact is not None:
+        return exact, SKY_MODEL_EXACT
+    sky = dataclasses.replace(sky, albedo=tuple(float(a) for a in sky.albedo))
+    return _to_sky_state_cached(sky, float(exposure_scale)), SKY_MODEL_FIT
 
 
 def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0,
@@ -270,13 +278,7 @@ def to_sky_state(sky: SkyParams, exposure_scale: float = 1.0,
     only — it is azimuth-invariant — so interactive azimuth sweeps are
     free. Albedo is normalized to a tuple for hashability.
     """
-    from .hw_dataset import to_sky_state_hw
-
-    exact = to_sky_state_hw(sky, hw_dataset_path, exposure_scale)
-    if exact is not None:
-        return exact
-    sky = dataclasses.replace(sky, albedo=tuple(float(a) for a in sky.albedo))
-    return _to_sky_state_cached(sky, float(exposure_scale))
+    return resolve_sky_state(sky, exposure_scale, hw_dataset_path)[0]
 
 
 _warned_turbidity_clamp = False

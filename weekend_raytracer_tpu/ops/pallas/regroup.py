@@ -662,13 +662,20 @@ def _make_level_kernel():
     return kernel
 
 
+def _profile_probe(x):
+    """Tiny read of a stage output: keeps a profile-truncated pipeline's
+    pallas calls live under DCE while costing ~nothing to materialize
+    (benchmarks/profile_regroup.py)."""
+    return jnp.sum(x[..., :1, :1])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "num_bounces", "chunk_size",
                      "super_factor", "cuts", "k1_chunk_size", "k1_tsub",
                      "k1_subcull", "full_height", "interpret",
                      "debug_counts", "budget_texels", "listed",
-                     "mxu_sweep"),
+                     "mxu_sweep", "profile_stop"),
 )
 def _render_image_regrouped_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -695,6 +702,7 @@ def _render_image_regrouped_jit(
     budget_texels: int | None = None,
     listed: bool = False,
     mxu_sweep: bool = False,
+    profile_stop: str | None = None,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -707,7 +715,14 @@ def _render_image_regrouped_jit(
     saturates — ~0.88 chunk entry measured on RTiOW — and the overhead/
     precision trade-off shifts). Measured on RTiOW-1080p: 64/128/unculled
     all within -1..-4% of matching K0's 32, so the default stays the K0
-    chunk size; the knob remains for scenes where it pays."""
+    chunk size; the knob remains for scenes where it pays.
+
+    profile_stop truncates the pipeline after a named stage ("k0",
+    "pack", "k1" — first phase only — "phases", "combine") and returns a
+    scalar probe of that stage's outputs instead of the image; stage
+    deltas between truncations attribute per-phase cost on chip
+    (benchmarks/profile_regroup.py). None (the default) is the normal
+    full render."""
     if interpret is None:
         interpret = _is_cpu()
     if full_height is None:
@@ -835,6 +850,9 @@ def _render_image_regrouped_jit(
     )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
       *pool_inputs, *fr_inputs, *mxu_inputs0)
 
+    if profile_stop == "k0":
+        return _profile_probe(pool) + _profile_probe(contrib)
+
     count = jnp.asarray([n_rows], jnp.int32)
 
     def live_tiles(c_ref):
@@ -896,6 +914,9 @@ def _render_image_regrouped_jit(
             interpret=interpret,
         )(count, pool)
         cpool, inv, count = packed
+        if profile_stop == "pack" and pi == 0:
+            return (_profile_probe(cpool) + _profile_probe(inv)
+                    + count[0].astype(jnp.float32))
 
         # --- K1: resume bounces on dense tiles (same clamped maps).
         # Besides the updated record pool (consumed ONLY by the next
@@ -937,6 +958,8 @@ def _render_image_regrouped_jit(
             interpret=interpret,
         )(*k1_ops)
         phases.append((r8, count, inv, dest_count))
+        if profile_stop == "k1" and pi == 0:
+            return _profile_probe(pool) + _profile_probe(r8)
 
     # --- COMBINE (reverse map composition): walking phases last-to-first,
     # compute R_i[p] = the final radiance of the path whose record sat at
@@ -947,6 +970,10 @@ def _render_image_regrouped_jit(
     # gathers from an 8-comp radiance pool and overwrites its base pool
     # in place (1:1 rows -> the base buffer is donated); no XLA radiance
     # materialization on any path.
+    if profile_stop == "phases":
+        return (sum(_profile_probe(ph[0]) for ph in phases)
+                + _profile_probe(pool))
+
     contrib_blk_c = lambda: pl.BlockSpec(
         (1, 3, 32, 128),
         lambda i, c: (jnp.minimum(i, live_tiles(c)), 0, 0, 0),
@@ -990,6 +1017,8 @@ def _render_image_regrouped_jit(
         src = combine_level(inv_i, src_count, dc, src, r8_prev, out8=True)
     contrib = combine_level(phases[0][2], phases[0][1], phases[0][3],
                             src, contrib, out8=False)
+    if profile_stop == "combine":
+        return _profile_probe(contrib)
 
     # --- contributions -> scanline pixel image (pure reshape/transpose) ---
     tiles_y = hp // 32

@@ -206,16 +206,18 @@ class Renderer:
     # -- state derivation ---------------------------------------------------
 
     def _derive_device_state(self) -> None:
+        from .models.sky import resolve_sky_state
+
         self._basis = CameraBasis.create(self._params.camera, self._params.viewport_size)
-        self._sky = to_sky_state(self._params.sky,
-                                 hw_dataset_path=self.hw_dataset)
+        self._sky, self._sky_model = resolve_sky_state(
+            self._params.sky, hw_dataset_path=self.hw_dataset)
 
     def sky_model(self) -> str:
-        """Which sky model this renderer's frames use (exact Hosek-Wilkie
-        dataset cooking vs the built-in Preetham fit)."""
-        from .models.sky import sky_model_name
-
-        return sky_model_name(self.hw_dataset)
+        """Which sky model this renderer's frames ACTUALLY use (exact
+        Hosek-Wilkie dataset cooking vs the built-in Preetham fit) —
+        recorded at cook time, not inferred from configuration, so the
+        provenance stat can't name a model the render didn't use."""
+        return self._sky_model
 
     def _padded_height(self) -> int:
         """Image height padded so the tile axis divides the rows evenly
@@ -474,6 +476,17 @@ class Renderer:
         # vs the in-kernel mipped LUT), so it fingerprints separately.
         family = "xla" if self.backend == "xla" else "fused"
         h.update(family.encode())
+        if family == "fused":
+            # The MXU chunk sweep is NOT bit-identical to the VPU sweep
+            # (matmul accumulation order; docs/PERF.md round 3), so it
+            # breaks the fused family's shared-draw premise above — it is
+            # part of the estimator and fingerprints separately (a
+            # WRT_MXU_SWEEP flip must not silently blend sample streams).
+            from .ops.pallas.megakernel import _default_mxu_sweep
+
+            mxu = (self.mxu_sweep if self.mxu_sweep is not None
+                   else _default_mxu_sweep())
+            h.update(f"mxu={bool(mxu)}".encode())
         if family == "fused" and not self._scene.materials.all_solid:
             # the in-kernel texture LUT budget changes what the fused
             # kernels actually sample — part of the estimator
