@@ -19,7 +19,40 @@ import time
 os.environ.setdefault("JAX_PLATFORMS", "")  # use the real chip if present
 
 
+def _wait_for_backend() -> None:
+    """Block until JAX backend init succeeds in a THROWAWAY subprocess.
+
+    The axon TPU tunnel flaps (docs: round-3 saw an 11h outage; backend
+    init then HANGS rather than erroring, which would turn the driver's
+    bench capture into an rc!=0 with no number). Probing in a subprocess
+    keeps this process's backend uninitialized so a later successful init
+    is still possible; retry with backoff up to WRT_BENCH_WAIT_S seconds
+    (default 900) before giving up and letting the real init report the
+    error."""
+    import subprocess
+
+    budget = float(os.environ.get("WRT_BENCH_WAIT_S", "900"))
+    deadline = time.time() + budget
+    probe = ("import jax, jax.numpy as jnp;"
+             "assert float(jnp.ones((8,128)).sum()) == 1024.0")
+    first = True
+    while True:
+        try:
+            subprocess.run((sys.executable, "-c", probe), timeout=120,
+                           check=True, capture_output=True)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() >= deadline:
+                return  # let the real init produce the visible failure
+            if first:
+                print("bench: backend probe failed; retrying up to "
+                      f"{budget:.0f}s", file=sys.stderr, flush=True)
+                first = False
+            time.sleep(30)
+
+
 def main() -> None:
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 

@@ -44,6 +44,9 @@ timeout 2400 python benchmarks/profile_regroup.py rtiow 2>"$L/prof_rtiow_vpu.err
 WRT_MXU_SWEEP=1 timeout 2400 python benchmarks/profile_regroup.py rtiow 2>"$L/prof_rtiow_mxu.err" | tee "$L/prof_rtiow_mxu.jsonl"
 timeout 2400 python benchmarks/profile_regroup.py random10k 2>"$L/prof_10k_vpu.err" | tee "$L/prof_10k_vpu.jsonl"
 
+echo "=== 4b. per-lane gather cost vs row span (sim_gather's C_G) ==="
+timeout 2400 python benchmarks/probe_gather_cost.py 2>"$L/probe_gather.err" | tee "$L/probe_gather.log"
+
 echo "=== 5. MXU probes ==="
 timeout 3600 python benchmarks/probe_mxu_sweep.py p8 p8c16 p5 p7 p3 p1 p4 p6 2>"$L/probe_mxu.err" | tee "$L/probe_mxu.log"
 

@@ -138,10 +138,22 @@ class OracleTracer:
         i = np.minimum((vv * h).astype(np.int32), h - 1)
         return self.pool[off + i * w + j]
 
-    def render(self, spp, bounces, frame=0):
+    def render(self, spp, bounces, frame=0, on_bounce=None, pixels=None):
+        """on_bounce(sample, bounce, o, d, alive), called at the start of
+        every bounce segment, exposes the exact mid-path ray populations —
+        the offline traversal sims (benchmarks/sim_*.py) feed on these
+        instead of dumping device pools through a chip.
+
+        pixels restricts tracing to the given flat pixel indices (camera
+        geometry and RNG seeds stay full-frame exact); the return is then
+        the unreshaped (len(pixels), 3) accumulator."""
         W, H = self.width, self.height
-        n = W * H
-        pix = np.arange(n, dtype=np.uint64)
+        if pixels is None:
+            n = W * H
+            pix = np.arange(n, dtype=np.uint64)
+        else:
+            pix = np.asarray(pixels, dtype=np.uint64)
+            n = pix.shape[0]
         x = (pix % W).astype(np.float32)
         y = (pix // W).astype(np.float32)
         acc = np.zeros((n, 3), np.float32)
@@ -170,6 +182,8 @@ class OracleTracer:
             col = np.zeros((n, 3), np.float32)
             alive = np.ones(n, bool)
             for _b in range(bounces):
+                if on_bounce is not None:
+                    on_bounce(s, _b, o, d, alive)
                 t, sidx, hit = self.intersect(o, d)
                 cen = self.centers[sidx]
                 rad = self.radii[sidx]
@@ -262,4 +276,4 @@ class OracleTracer:
                 d = np.where(scattering[:, None], new_d, d)
                 alive = scattering
             acc += thr * col
-        return acc.reshape(H, W, 3)
+        return acc if pixels is not None else acc.reshape(H, W, 3)
