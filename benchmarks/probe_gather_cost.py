@@ -44,11 +44,18 @@ def make_fn(span_rows: int, n_fetch: int, table_rows: int):
 
 
 def main():
+    import os
+
+    smoke = bool(os.environ.get("WRT_PROBE_SMOKE"))
+    if smoke:  # CPU interpret: validate gather semantics, skip timing
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     table_rows = 128
     tab = jnp.arange(table_rows * 128, dtype=jnp.float32).reshape(table_rows, 128)
     rng = np.random.default_rng(0)
-    n_tiles = 512
-    for span in (1, 2, 4, 8, 16):
+    n_tiles = 8 if smoke else 512
+    for span in (1, 4) if smoke else (1, 2, 4, 8, 16):
         n_fetch = 16
         lo = rng.integers(0, table_rows - span, size=(n_tiles,))
         idx = (lo[:, None, None] * 128
@@ -67,9 +74,21 @@ def main():
             out_specs=pl.BlockSpec((32, 128), lambda g: (g, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_tiles * 32, 128), jnp.float32),
+            interpret=smoke,
         )(t, i))
         out = f(tab, idx)
         out.block_until_ready(); np.asarray(out[:1, :1])
+        if smoke:  # numpy oracle: out = sum_k tab[row_k, col_k] per lane
+            base = np.asarray(idx).reshape(n_tiles, 32, 128)
+            sb = ((base.min(axis=(1, 2), keepdims=True) >> 7) << 7)
+            want = np.zeros_like(base, np.float32)
+            for k in range(n_fetch):
+                flat = sb + (base - sb + k * 37) % (span * 128)
+                want += np.asarray(tab)[(flat >> 7) % table_rows, flat & 127]
+            np.testing.assert_allclose(
+                np.asarray(out).reshape(n_tiles, 32, 128), want)
+            print(json.dumps({"span_rows": span, "smoke": "ok"}), flush=True)
+            continue
         reps = 20
         t0 = time.perf_counter()
         for _ in range(reps):

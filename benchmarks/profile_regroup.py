@@ -41,6 +41,11 @@ def _setup():
     else:
         w, h, spp, bounces = 1920, 1080, 32, 8
         desc, cam = scenes.rtiow_final(), scenes.rtiow_final_camera()
+    # CPU smoke overrides so the script glue is testable without a chip
+    if os.environ.get("WRT_PROF_SIZE"):
+        w, h = (int(v) for v in os.environ["WRT_PROF_SIZE"].split("x"))
+    if os.environ.get("WRT_PROF_SPP"):
+        spp = int(os.environ["WRT_PROF_SPP"])
     from weekend_raytracer_tpu.ops.pallas.regroup import default_cuts
 
     cuts = (tuple(int(c) for c in cuts_arg.split(",")) if cuts_arg
@@ -66,7 +71,7 @@ def main() -> int:
 
     def timed(stop):
         """Mean seconds/frame of the pipeline truncated after `stop`."""
-        reps = 4
+        reps = int(os.environ.get("WRT_PROF_REPS", "4"))
 
         @jax.jit
         def run():

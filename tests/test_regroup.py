@@ -263,3 +263,17 @@ def test_default_cuts_scene_aware():
         for ns in (None, 1, 64, 65, 500):
             cuts = default_cuts(nb, ns)
             assert cuts and all(0 < c < nb for c in cuts), (nb, ns, cuts)
+
+
+def test_profile_stops_finite(rtiow):
+    """profile_stop truncations (benchmarks/profile_regroup.py) return a
+    finite scalar probe at every stage. Guards the probe against reading
+    uninitialized pool tails: packed/K1 pools are dense-prefix-
+    initialized, so a probe that touches dead tiles sums garbage (the
+    round-4 "pack" probe bug, caught in interpret mode)."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=8, cuts=(2, 4))
+    for stop in ("k0", "pack", "phases", "combine"):
+        v = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
+                                              profile_stop=stop, **kw))
+        assert v.shape == () and np.isfinite(v), stop

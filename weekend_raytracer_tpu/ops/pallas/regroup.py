@@ -665,8 +665,10 @@ def _make_level_kernel():
 def _profile_probe(x):
     """Tiny read of a stage output: keeps a profile-truncated pipeline's
     pallas calls live under DCE while costing ~nothing to materialize
-    (benchmarks/profile_regroup.py)."""
-    return jnp.sum(x[..., :1, :1])
+    (benchmarks/profile_regroup.py). Reads ONLY the first element — pool
+    buffers are dense-prefix-initialized (pack/K1 write live tiles only),
+    so any wider read sums uninitialized HBM."""
+    return jnp.sum(x.reshape(-1)[:1])
 
 
 @functools.partial(
