@@ -49,15 +49,11 @@ def run_config(name, desc, cam, size, spp, spp_frame, bounces, backend="auto"):
     dt = time.perf_counter() - t0
     spp_timed = frames * spp_frame
     rays = size[0] * size[1] * spp_timed * bounces
-    from weekend_raytracer_tpu.ops.pallas.megakernel import (
-        _default_mxu_sweep,
-    )
-
     print(json.dumps({
         "config": name,
         "harness": HARNESS,
         "backend": r.backend,
-        "sweep": "mxu" if _default_mxu_sweep() else "vpu",
+        "sweep": "mxu" if r.resolved_mxu_sweep() else "vpu",
         "sky": r.sky_model(),
         "size": list(size),
         "spheres": desc.num_spheres,

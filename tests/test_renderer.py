@@ -365,3 +365,33 @@ def test_auto_backend_reresolves_on_param_update():
     assert r.set_render_params(new)
     assert r.backend == "pallas"
     assert r.render_frame()
+
+
+def test_resolved_mxu_sweep_precedence(monkeypatch):
+    """MXU-engine resolution: explicit knob > WRT_MXU_SWEEP env > scene-
+    size default (MXU_DEFAULT_MIN_SPHERES, None = never). The resolved
+    flag feeds the checkpoint fingerprint and every reported number's
+    "sweep" field, so the precedence is contract, not convenience."""
+    from weekend_raytracer_tpu.ops.pallas import megakernel as mk
+
+    params = RenderParams(
+        camera=scenes.three_spheres_camera(),
+        viewport_size=(32, 18),
+        sampling=SamplingParams(max_samples_per_pixel=4,
+                                num_samples_per_pixel=4, num_bounces=4),
+    )
+    r = Renderer(scenes.three_spheres(), params, backend="xla")
+    monkeypatch.delenv("WRT_MXU_SWEEP", raising=False)
+    assert r.resolved_mxu_sweep() is False          # default: never
+    monkeypatch.setattr(mk, "MXU_DEFAULT_MIN_SPHERES", 2)
+    assert r.resolved_mxu_sweep() is True           # 3 spheres >= 2
+    monkeypatch.setattr(mk, "MXU_DEFAULT_MIN_SPHERES", 100)
+    assert r.resolved_mxu_sweep() is False
+    monkeypatch.setattr(mk, "MXU_DEFAULT_MIN_SPHERES", 2)
+    monkeypatch.setenv("WRT_MXU_SWEEP", "0")        # env beats scene size
+    assert r.resolved_mxu_sweep() is False
+    monkeypatch.setenv("WRT_MXU_SWEEP", "1")
+    assert r.resolved_mxu_sweep() is True
+    explicit = Renderer(scenes.three_spheres(), params, backend="xla",
+                        mxu_sweep=False)
+    assert explicit.resolved_mxu_sweep() is False   # knob beats env

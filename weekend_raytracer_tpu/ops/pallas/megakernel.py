@@ -1131,13 +1131,26 @@ def _is_cpu() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _default_mxu_sweep() -> bool:
-    """Env-default for the MXU chunk sweep (WRT_MXU_SWEEP=1). Off until
-    measured on chip: the form is statistically equivalent but not
-    bit-identical to the VPU sweep (see _make_bounce)."""
+# Scene-size threshold above which the MXU chunk sweep defaults ON
+# (mirrors default_cuts' measured-points pattern). None = never: the
+# form is statistically equivalent but not bit-identical to the VPU
+# sweep (see _make_bounce), so it must not default on before the chip
+# measurements (benchmarks/chip_session.sh steps 2a-2d) land a win and
+# a convergence-level RMSE equivalence number.
+MXU_DEFAULT_MIN_SPHERES: int | None = None
+
+
+def _default_mxu_sweep(n_spheres: int | None = None) -> bool:
+    """Default for the MXU chunk sweep. WRT_MXU_SWEEP=0/1 forces either
+    way; otherwise scenes with >= MXU_DEFAULT_MIN_SPHERES spheres (whose
+    frames are sweep-dominated) default on once that constant is set."""
     import os
 
-    return os.environ.get("WRT_MXU_SWEEP", "0") == "1"
+    env = os.environ.get("WRT_MXU_SWEEP")
+    if env is not None:
+        return env == "1"
+    return (MXU_DEFAULT_MIN_SPHERES is not None and n_spheres is not None
+            and n_spheres >= MXU_DEFAULT_MIN_SPHERES)
 
 
 def pack_camera(basis: CameraBasis) -> jnp.ndarray:
@@ -1524,12 +1537,19 @@ def _render_image_pallas_jit(
     return img
 
 
+def _wrapper_n_spheres(args, kwargs):
+    """Scene sphere count from a render_image_* wrapper's call: all three
+    fused entries share the (accum, frame, clear, scene, ...) order."""
+    scene = args[3] if len(args) > 3 else kwargs.get("scene")
+    return None if scene is None else int(scene.spheres.centers.shape[0])
+
+
 def render_image_pallas(*args, mxu_sweep: bool | None = None, **kwargs):
-    """Public entry: resolves the WRT_MXU_SWEEP env default eagerly so the
+    """Public entry: resolves the scene-size/env default eagerly so the
     jit cache keys on the concrete bool (an env flip mid-process would
     otherwise be silently ignored via the cached None trace)."""
     if mxu_sweep is None:
-        mxu_sweep = _default_mxu_sweep()
+        mxu_sweep = _default_mxu_sweep(_wrapper_n_spheres(args, kwargs))
     return _render_image_pallas_jit(*args, mxu_sweep=bool(mxu_sweep),
                                     **kwargs)
 

@@ -502,13 +502,13 @@ def _render_image_wavefront_jit(
 
 
 def render_image_wavefront(*args, mxu_sweep: bool | None = None, **kwargs):
-    """Public entry: resolves the WRT_MXU_SWEEP env default eagerly so the
+    """Public entry: resolves the scene-size/env default eagerly so the
     jit cache keys on the concrete bool (an env flip mid-process would
     otherwise be silently ignored via the cached None trace)."""
-    from .megakernel import _default_mxu_sweep
+    from .megakernel import _default_mxu_sweep, _wrapper_n_spheres
 
     if mxu_sweep is None:
-        mxu_sweep = _default_mxu_sweep()
+        mxu_sweep = _default_mxu_sweep(_wrapper_n_spheres(args, kwargs))
     return _render_image_wavefront_jit(*args, mxu_sweep=bool(mxu_sweep),
                                        **kwargs)
 

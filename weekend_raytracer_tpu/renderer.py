@@ -219,6 +219,17 @@ class Renderer:
         provenance stat can't name a model the render didn't use."""
         return self._sky_model
 
+    def resolved_mxu_sweep(self) -> bool:
+        """Whether this renderer's fused kernels run the MXU chunk sweep
+        (explicit knob > WRT_MXU_SWEEP env > scene-size default). Part of
+        the checkpoint fingerprint: the MXU estimator is not bit-identical
+        to the VPU one, and reporting must state which engine rendered."""
+        if self.mxu_sweep is not None:
+            return bool(self.mxu_sweep)
+        from .ops.pallas.megakernel import _default_mxu_sweep
+
+        return _default_mxu_sweep(int(self._scene.spheres.centers.shape[0]))
+
     def _padded_height(self) -> int:
         """Image height padded so the tile axis divides the rows evenly
         (single-device: no padding). Padding rows render off-frame content
@@ -273,12 +284,10 @@ class Renderer:
         w, h = self._params.viewport_size
         hp = self._padded_height()
         n_spheres = int(self._scene.spheres.centers.shape[0])
-        # Resolve the env-default NOW: the step fn below is jitted again,
-        # so a trace-time env read would be baked into this cache entry.
-        from .ops.pallas.megakernel import _default_mxu_sweep
-
-        mxu = (self.mxu_sweep if self.mxu_sweep is not None
-               else _default_mxu_sweep())
+        # Resolve the env/scene default NOW: the step fn below is jitted
+        # again, so a trace-time env read would be baked into this cache
+        # entry.
+        mxu = self.resolved_mxu_sweep()
         key = (self.backend, w, h, spp, bounces, n_spheres,
                self.budget_texels, mxu)
         bt = ({} if self.budget_texels is None
@@ -482,11 +491,7 @@ class Renderer:
             # breaks the fused family's shared-draw premise above — it is
             # part of the estimator and fingerprints separately (a
             # WRT_MXU_SWEEP flip must not silently blend sample streams).
-            from .ops.pallas.megakernel import _default_mxu_sweep
-
-            mxu = (self.mxu_sweep if self.mxu_sweep is not None
-                   else _default_mxu_sweep())
-            h.update(f"mxu={bool(mxu)}".encode())
+            h.update(f"mxu={self.resolved_mxu_sweep()}".encode())
         if family == "fused" and not self._scene.materials.all_solid:
             # the in-kernel texture LUT budget changes what the fused
             # kernels actually sample — part of the estimator
