@@ -47,6 +47,10 @@ timeout 2400 python benchmarks/profile_regroup.py random10k 2>"$L/prof_10k_vpu.e
 echo "=== 4b. per-lane gather cost vs row span (sim_gather's C_G) ==="
 timeout 2400 python benchmarks/probe_gather_cost.py 2>"$L/probe_gather.err" | tee "$L/probe_gather.log"
 
+echo "=== 4c. dynamic grid bounds (dead-step overhead; bit-identical) ==="
+WRT_DYN_GRID=1 WRT_SPP=32 timeout 1800 python benchmarks/sweep_wavefront.py rtiow nomk r2,4,6 2>"$L/rtiow_dyng.err" | tee "$L/rtiow_dyng.log"
+WRT_DYN_GRID=1 WRT_SPP=8 timeout 1800 python benchmarks/sweep_wavefront.py 10k nomk r2,4,6 2>"$L/10k_dyng.err" | tee "$L/10k_dyng.log"
+
 echo "=== 5. MXU probes ==="
 timeout 3600 python benchmarks/probe_mxu_sweep.py p8 p8c16 p5 p7 p3 p1 p4 p6 2>"$L/probe_mxu.err" | tee "$L/probe_mxu.log"
 

@@ -277,3 +277,19 @@ def test_profile_stops_finite(rtiow):
         v = np.asarray(render_image_regrouped(*_args(scene, sky, basis),
                                               profile_stop=stop, **kw))
         assert v.shape == () and np.isfinite(v), stop
+
+
+def test_dyn_grid_bit_identical(rtiow):
+    """Dynamic grid bounds (visit only live tiles in pack/K1/combine)
+    are a pure scheduling change: outputs and per-phase live counts are
+    bit-identical to the full static grid."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=8, cuts=(2, 4))
+    ref, c_ref = render_image_regrouped(*_args(scene, sky, basis),
+                                        dyn_grid=False, debug_counts=True,
+                                        **kw)
+    dyn, c_dyn = render_image_regrouped(*_args(scene, sky, basis),
+                                        dyn_grid=True, debug_counts=True,
+                                        **kw)
+    assert np.array_equal(np.asarray(ref), np.asarray(dyn))
+    assert [int(c[0]) for c in c_ref] == [int(c[0]) for c in c_dyn]

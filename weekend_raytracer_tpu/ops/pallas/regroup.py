@@ -677,7 +677,7 @@ def _profile_probe(x):
                      "super_factor", "cuts", "k1_chunk_size", "k1_tsub",
                      "k1_subcull", "full_height", "interpret",
                      "debug_counts", "budget_texels", "listed",
-                     "mxu_sweep", "profile_stop"),
+                     "mxu_sweep", "profile_stop", "dyn_grid"),
 )
 def _render_image_regrouped_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -705,6 +705,7 @@ def _render_image_regrouped_jit(
     listed: bool = False,
     mxu_sweep: bool = False,
     profile_stop: str | None = None,
+    dyn_grid: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -861,6 +862,16 @@ def _render_image_regrouped_jit(
         # last live tile index for clamped block maps (>=0 even at c=0)
         return jnp.maximum((c_ref[0] + 31) // 32 - 1, 0)
 
+    def live_grid(c):
+        # dyn_grid: Mosaic dynamic grid bound — visit ONLY the tiles
+        # holding live rows instead of guarding all n_tiles steps (the
+        # post-cut phases are mostly dead tiles). Outputs are identical:
+        # dead steps never write (clamped maps + count guards), so
+        # skipping them changes nothing the consumers read. Min 1 keeps
+        # the pack's t==0 counter init and last-step flush well-defined
+        # at count==0.
+        return jnp.maximum((c[0] + 31) // 32, 1) if dyn_grid else n_tiles
+
     def pool_blk_c():
         return pl.BlockSpec((1, N_COMP, 32, 128),
                             lambda i, c: (jnp.minimum(i, live_tiles(c)),
@@ -896,7 +907,7 @@ def _render_image_regrouped_jit(
             _pack_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(n_tiles,),
+                grid=(live_grid(count),),
                 in_specs=[pool_blk_c()],
                 out_specs=(pl.BlockSpec(memory_space=pl.ANY), inv_blk_c(),
                            pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -949,7 +960,7 @@ def _render_image_regrouped_jit(
             k1,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(n_tiles,),
+                grid=(live_grid(count),),
                 in_specs=[smem(), smem(), smem()] + scene_specs
                 + pool_specs1 + [pool_blk_c()],
                 out_specs=(pool_blk_c(), r8_blk_c()),
@@ -994,7 +1005,7 @@ def _render_image_regrouped_jit(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(n_tiles,),
+                grid=(live_grid(dest_count),),
                 in_specs=[smem(), smem(), inv_blk_c(),
                           pl.BlockSpec(memory_space=pl.ANY),
                           base_spec],
@@ -1037,14 +1048,23 @@ def _render_image_regrouped_jit(
     return out
 
 
-def render_image_regrouped(*args, mxu_sweep: bool | None = None, **kwargs):
-    """Public entry: resolves the scene-size/env default eagerly so the
-    jit cache keys on the concrete bool (an env flip mid-process would
+def render_image_regrouped(*args, mxu_sweep: bool | None = None,
+                           dyn_grid: bool | None = None, **kwargs):
+    """Public entry: resolves the scene-size/env defaults eagerly so the
+    jit cache keys on concrete bools (an env flip mid-process would
     otherwise be silently ignored via the cached None trace)."""
+    import os
+
     from .megakernel import _default_mxu_sweep, _wrapper_n_spheres
 
     if mxu_sweep is None:
         mxu_sweep = _default_mxu_sweep(_wrapper_n_spheres(args, kwargs))
+    if dyn_grid is None:
+        # dynamic grid bounds on the post-cut phases: bit-identical,
+        # default off until the chip session prices the dead-step
+        # overhead it removes (WRT_DYN_GRID=1 to measure)
+        dyn_grid = os.environ.get("WRT_DYN_GRID", "0") == "1"
+    kwargs["dyn_grid"] = bool(dyn_grid)
     return _render_image_regrouped_jit(*args, mxu_sweep=bool(mxu_sweep),
                                        **kwargs)
 
