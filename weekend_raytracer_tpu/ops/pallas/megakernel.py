@@ -561,7 +561,10 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                     t1 = b + sq
                     ts = jnp.where(t0 > MIN_T, t0, t1)
                     ts = jnp.where((sq > 0.0) & (ts > MIN_T), ts, MAX_T)
-                    idx = jax.lax.broadcasted_iota(f32, (cs, 128), 0)
+                    # int iota + convert: Mosaic's tpu.iota rejects f32
+                    # results (caught by AOT TPU lowering, round 4)
+                    idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (cs, 128), 0).astype(f32)
                     h = cs
                     # sublane-half tree argmin; NOTE on exact t ties the
                     # half-tree may keep a different sphere index than the
