@@ -244,7 +244,7 @@ def _mxu_sweep_kernel(n_spheres, iters, precision):
             ts = jnp.where(t0 > MIN_T, t0, t1)
             valid = (sq > 0.0) & (ts > MIN_T)
             ts = jnp.where(valid, ts, MAX_T)
-            idx = jax.lax.broadcasted_iota(f32, (32, 4096), 0)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (32, 4096), 0).astype(f32)
             for sh in (16, 8, 4, 2, 1):
                 rt = pltpu.roll(ts, sh, 0)
                 ri = pltpu.roll(idx, sh, 0)
@@ -360,7 +360,7 @@ def _rowdot_sweep_kernel(n_spheres, iters, precision):
                 ts = jnp.where(t0 > MIN_T, t0, t1)
                 valid = (sq > 0.0) & (ts > MIN_T)
                 ts = jnp.where(valid, ts, MAX_T)
-                idx = jax.lax.broadcasted_iota(f32, (32, 128), 0)
+                idx = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0).astype(f32)
                 for sh in (16, 8, 4, 2, 1):
                     rt = pltpu.roll(ts, sh, 0)
                     ri = pltpu.roll(idx, sh, 0)
@@ -520,7 +520,7 @@ def _chunked_mxu_kernel(n_chunks, cs, iters, precision):
                 ts = jnp.where(t0 > MIN_T, t0, t1)
                 valid = (sq > 0.0) & (ts > MIN_T)
                 ts = jnp.where(valid, ts, MAX_T)  # (cs, 128)
-                idx = jax.lax.broadcasted_iota(f32, (cs, 128), 0)
+                idx = jax.lax.broadcasted_iota(jnp.int32, (cs, 128), 0).astype(f32)
                 h = cs
                 while h > 1:
                     h //= 2
