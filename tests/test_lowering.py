@@ -9,70 +9,81 @@ platforms=["tpu"] runs the full Mosaic lowering pipeline locally, so
 every knob-combination the chip sessions exercise gets a lowering
 gate here.
 
+Each export runs in a SUBPROCESS: the TPU lowering machinery must not
+share a process with the interpret-mode tests (a full-suite run with
+in-process exports segfaulted later CPU executions twice, round 4),
+and isolation also keeps the gate honest about import-time state.
+
 These are NOT compile tests (no XLA binary is produced) — they verify
 the Pallas->Mosaic MLIR stage only, which is where kernel-language
 errors surface.
 """
-import jax
-import jax.numpy as jnp
-import pytest
-from jax import export
+import subprocess
+import sys
 
+_PRELUDE = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from jax import export
 from weekend_raytracer_tpu.models import scenes
 from weekend_raytracer_tpu.models.camera import CameraBasis
 from weekend_raytracer_tpu.models.sky import SkyParams, to_sky_state
+from weekend_raytracer_tpu.ops.pallas.regroup import render_image_regrouped
 
 W, H = 192, 96
 
 
-@pytest.fixture(scope="module")
-def rtiow():
-    scene = scenes.rtiow_final().build()
-    basis = CameraBasis.create(scenes.rtiow_final_camera(), (W, H))
-    return scene, to_sky_state(SkyParams()), basis
-
-
-def _export_tpu(fn, *args):
+def export_tpu(fn, *args):
     exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
     assert "tpu_custom_call" in exp.mlir_module()
+"""
 
 
-def test_regroup_mxu_dyn_grid_lowers_for_tpu(rtiow):
+def _run(body: str) -> None:
+    proc = subprocess.run((sys.executable, "-c", _PRELUDE + body),
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+
+def test_regroup_mxu_dyn_grid_lowers_for_tpu():
     """The most knob-loaded fused config: MXU chunk sweep in K0 AND K1
     plus dynamic grid bounds on pack/K1/combine. One export covers all
     four kernels' Mosaic lowering."""
-    from weekend_raytracer_tpu.ops.pallas.regroup import (
-        render_image_regrouped,
-    )
+    _run("""
+scene = scenes.rtiow_final().build()
+basis = CameraBasis.create(scenes.rtiow_final_camera(), (W, H))
+sky = to_sky_state(SkyParams())
+accum = jnp.zeros((W * H, 3), jnp.float32)
 
-    scene, sky, basis = rtiow
-    accum = jnp.zeros((W * H, 3), jnp.float32)
 
-    def f(accum, frame, clear, scene, sky):
-        return render_image_regrouped(
-            accum, frame, clear, scene, sky, basis, width=W, height=H,
-            spp=8, num_bounces=8, cuts=(2, 4), interpret=False,
-            mxu_sweep=True, dyn_grid=True)
+def f(accum, frame, clear, scene, sky):
+    return render_image_regrouped(
+        accum, frame, clear, scene, sky, basis, width=W, height=H,
+        spp=8, num_bounces=8, cuts=(2, 4), interpret=False,
+        mxu_sweep=True, dyn_grid=True)
 
-    _export_tpu(f, accum, jnp.uint32(0), jnp.asarray(True), scene, sky)
+
+export_tpu(f, accum, jnp.uint32(0), jnp.asarray(True), scene, sky)
+""")
 
 
 def test_textured_regroup_mxu_lowers_for_tpu():
     """Texture LUT + retrieval LUT + MXU sweep together (the textured
     ladder config's engine with the knob on)."""
-    from weekend_raytracer_tpu.ops.pallas.regroup import (
-        render_image_regrouped,
-    )
+    _run("""
+scene = scenes.reference_demo().build()
+basis = CameraBasis.create(scenes.reference_demo_camera(), (W, H))
+sky = to_sky_state(SkyParams())
+accum = jnp.zeros((W * H, 3), jnp.float32)
 
-    scene = scenes.reference_demo().build()
-    basis = CameraBasis.create(scenes.reference_demo_camera(), (W, H))
-    sky = to_sky_state(SkyParams())
-    accum = jnp.zeros((W * H, 3), jnp.float32)
 
-    def f(accum, frame, clear, scene, sky):
-        return render_image_regrouped(
-            accum, frame, clear, scene, sky, basis, width=W, height=H,
-            spp=8, num_bounces=8, cuts=(2,), interpret=False,
-            mxu_sweep=True)
+def f(accum, frame, clear, scene, sky):
+    return render_image_regrouped(
+        accum, frame, clear, scene, sky, basis, width=W, height=H,
+        spp=8, num_bounces=8, cuts=(2,), interpret=False,
+        mxu_sweep=True)
 
-    _export_tpu(f, accum, jnp.uint32(0), jnp.asarray(True), scene, sky)
+
+export_tpu(f, accum, jnp.uint32(0), jnp.asarray(True), scene, sky)
+""")

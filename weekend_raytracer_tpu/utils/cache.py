@@ -13,6 +13,29 @@ import os
 _done = False
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags. XLA:CPU AOT cache
+    entries embed machine features; loading one compiled on a host with
+    a different ISA extension set can SIGILL mid-test (observed: entries
+    from an avx512 prefer-no-scatter host segfaulting on a host without
+    it). Salting the default cache dir per host keeps TPU-executable
+    reuse on one machine while making cross-host CPU entries invisible."""
+    import hashlib
+
+    flags = b""
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags"):
+                    flags = line
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.processor().encode()
+    return "host-" + hashlib.sha1(flags).hexdigest()[:10]
+
+
 def enable_persistent_cache() -> None:
     global _done
     if _done:
@@ -24,12 +47,18 @@ def enable_persistent_cache() -> None:
     if not path:
         path = os.path.join(
             os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-            "weekend_raytracer_tpu", "jax",
+            "weekend_raytracer_tpu", "jax", _host_fingerprint(),
         )
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
 
+        if jax.config.jax_platforms == "cpu":
+            # Serializing XLA:CPU executables that embed interpret-mode
+            # pallas host callbacks segfaults in the cache-write path
+            # (round 4). The cache exists for the remote-compile TPU
+            # transport; skip it when the process forced CPU.
+            return
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
