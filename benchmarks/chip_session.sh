@@ -76,4 +76,15 @@ P
 echo "=== 5. MXU probes ==="
 timeout 3600 python benchmarks/probe_mxu_sweep.py p8 p8c16 p5 p7 p3 p1 p4 p6 2>"$L/probe_mxu.err" | tee "$L/probe_mxu.log"
 
+P
+echo "=== 6. chunk-size sweep under MXU (cheaper tests shift the cond/cull optimum larger) ==="
+for CS in 32 64; do
+  WRT_MXU_SWEEP=1 WRT_SPP=32 WRT_CHUNK=$CS timeout 1800 python benchmarks/sweep_wavefront.py rtiow nomk r2,4,6 2>"$L/rtiow_mxu_c$CS.err" | tee "$L/rtiow_mxu_c$CS.log"
+  P
+done
+for CS in 64 128; do
+  WRT_MXU_SWEEP=1 WRT_SPP=8 WRT_CHUNK=$CS timeout 1800 python benchmarks/sweep_wavefront.py 10k nomk r2,4,6 2>"$L/10k_mxu_c$CS.err" | tee "$L/10k_mxu_c$CS.log"
+  P
+done
+
 echo "=== chip session done ==="
