@@ -51,7 +51,7 @@ def main() -> int:
     if scene_name == "rtiow":
         desc, cam, (w, h) = (scenes.rtiow_final(), scenes.rtiow_final_camera(),
                              (1920, 1080))
-    elif scene_name == "random10k":
+    elif scene_name in ("random10k", "10k"):
         desc, cam, (w, h) = (scenes.random_spheres(10000),
                              scenes.random_spheres_camera(), (3840, 2160))
     elif scene_name == "three":
