@@ -1136,10 +1136,11 @@ def _is_cpu() -> bool:
 
 # Scene-size threshold above which the MXU chunk sweep defaults ON
 # (mirrors default_cuts' measured-points pattern). None = never: the
-# form is statistically equivalent but not bit-identical to the VPU
-# sweep (see _make_bounce), so it must not default on before the chip
-# measurements (benchmarks/chip_session.sh steps 2a-2d) land a win and
-# a convergence-level RMSE equivalence number.
+# round-4 chip session measured the MXU sweep LOSING at every chunk
+# size on both headline scenes (RTiOW 1080p 631->400 Mrays/s at cs16,
+# 370 at cs32; random10k 4K 180->94 at cs64, 77 at cs128 — docs/
+# PERF.md "MXU chunk sweep: measured on chip"), so the knob stays a
+# measurement tool and must never default on.
 MXU_DEFAULT_MIN_SPHERES: int | None = None
 
 

@@ -1060,10 +1060,11 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
     if mxu_sweep is None:
         mxu_sweep = _default_mxu_sweep(_wrapper_n_spheres(args, kwargs))
     if dyn_grid is None:
-        # dynamic grid bounds on the post-cut phases: bit-identical,
-        # default off until the chip session prices the dead-step
-        # overhead it removes (WRT_DYN_GRID=1 to measure)
-        dyn_grid = os.environ.get("WRT_DYN_GRID", "0") == "1"
+        # dynamic grid bounds on the post-cut phases: bit-identical and
+        # measured winning on chip (round 4: RTiOW 1080p 631.6 -> 646.1
+        # Mrays/s, random10k 4K 179.0 -> 180.4), so default ON;
+        # WRT_DYN_GRID=0 reverts to the static full-tile grid.
+        dyn_grid = os.environ.get("WRT_DYN_GRID", "1") == "1"
     kwargs["dyn_grid"] = bool(dyn_grid)
     return _render_image_regrouped_jit(*args, mxu_sweep=bool(mxu_sweep),
                                        **kwargs)
