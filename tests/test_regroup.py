@@ -295,3 +295,20 @@ def test_dyn_grid_bit_identical(rtiow):
                                         **kw)
     assert np.array_equal(np.asarray(ref), np.asarray(dyn))
     assert [int(c[0]) for c in c_ref] == [int(c[0]) for c in c_dyn]
+
+
+def test_combine_v2_bit_identical(rtiow):
+    """The windowed-matmul combine level (round 4) must be bit-identical
+    to the per-row-DMA v1: the one-hot row-select matmul runs at
+    precision='highest' (exact f32 selection) and the lane pick is the
+    same take_along_axis. Counts are pack outputs and must not change."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=6, cuts=(2, 4))
+    v1, c1 = render_image_regrouped(*_args(scene, sky, basis),
+                                    combine_v2=False, debug_counts=True,
+                                    **kw)
+    v2, c2 = render_image_regrouped(*_args(scene, sky, basis),
+                                    combine_v2=True, debug_counts=True,
+                                    **kw)
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    assert [int(c[0]) for c in c1] == [int(c[0]) for c in c2]

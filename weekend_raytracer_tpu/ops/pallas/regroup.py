@@ -662,6 +662,87 @@ def _make_level_kernel():
     return kernel
 
 
+def _make_level_kernel_v2():
+    """Windowed-matmul reverse-combine level (round 4).
+
+    Same contract and bit-identical output as _make_level_kernel,
+    rebuilt around three facts (docs/PERF.md round 4): (a) v1 spends
+    most of its per-step time in 68 lax.cond-guarded row DMAs plus a
+    32-iteration scalar gather loop (~90 cycles/cond on v5e); (b) each
+    dest tile's source span [tbl[t], tbl[t]+34) is CONTIGUOUS in the
+    dense pool, so it lies inside THREE consecutive source tiles that
+    unconditional block DMAs can fetch whole; (c) the per-dest-row
+    source row a_j = INV_FIRST[j] is monotone within the window, so
+    "select window row a_j (and a_j+1)" is an exact one-hot f32 matmul
+    under precision='highest' (measured exact on chip, round 2), after
+    which the per-lane pick is the verified lane-axis take_along_axis.
+    Zero conds, zero fori, three DMAs.
+
+    Window-bound proof: start = tbl[t] = INV_FIRST of the tile's row
+    0; within one dest tile g_idx grows by at most 32*128 records plus
+    the <=127-lane carry, so a_j - start <= 33 and a_j + 1 lies in
+    [t0*32, t0*32 + 66) — inside the 96-row / 3-tile window. Rows past
+    the live count read garbage tiles (clamped to the last live source
+    tile) but their records are _DEAD_ROW-masked and never selected.
+    """
+
+    def kernel(dcount_ref, tbl_ref, count_ref, inv_ref, src_hbm,
+               base_in, out_ref, win, sems):
+        f32 = jnp.float32
+        t = pl.program_id(0)
+
+        @pl.when(t * 32 < dcount_ref[0])
+        def _():
+            count = count_ref[0]
+            start = tbl_ref[t]
+            t0 = start // 32
+            last = jnp.maximum((count + 31) // 32 - 1, 0)
+            for k in range(3):
+                pltpu.make_async_copy(
+                    src_hbm.at[jnp.minimum(t0 + k, last)],
+                    win.at[k], sems.at[k]).start()
+            for k in range(3):
+                pltpu.make_async_copy(
+                    src_hbm.at[jnp.minimum(t0 + k, last)],
+                    win.at[k], sems.at[k]).wait()
+
+            # one-hot row-select matrices over the 96-row window
+            wj = (inv_ref[0, _INV_FIRST, :, 0:1].astype(jnp.int32)
+                  - t0 * 32)  # (32, 1) first source row, window-local
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (32, 96), 1)
+            ga = (iota_w == wj).astype(f32)
+            gb = (iota_w == (wj + 1)).astype(f32)
+            # window as (96, 384): source rows x (3 channels x 128).
+            # Rows past the live source count are uninitialized HBM and
+            # MUST be zeroed: unlike a gather, the matmul multiplies
+            # every row by its one-hot weight, and 0 * NaN = NaN.
+            row_live = (jax.lax.broadcasted_iota(jnp.int32, (96, 1), 0)
+                        < count - t0 * 32)
+            wall = jnp.concatenate(
+                [win[:, ch].reshape(96, 128) for ch in range(3)], axis=1)
+            wall = jnp.where(row_live, wall, 0.0)
+            wa = jnp.dot(ga, wall, precision="highest")
+            wb = jnp.dot(gb, wall, precision="highest")
+
+            prow_f = inv_ref[0, _INV_ROW]
+            prow = prow_f.astype(jnp.int32)
+            lidx = inv_ref[0, _INV_LANE].astype(jnp.int32)
+            off = prow - (t0 * 32 + wj)
+            use_b = off == 1
+            live = (prow_f < _DEAD_ROW) & ((off == 0) | use_b)
+            for ch in range(3):
+                va = jnp.take_along_axis(
+                    wa[:, ch * 128:(ch + 1) * 128], lidx, axis=1)
+                vb = jnp.take_along_axis(
+                    wb[:, ch * 128:(ch + 1) * 128], lidx, axis=1)
+                out_ref[0, ch] = jnp.where(
+                    live, jnp.where(use_b, vb, va), base_in[0, ch])
+            if out_ref.shape[1] == 4:  # r4 pad row: keep pools defined
+                out_ref[0, 3] = jnp.zeros((32, 128), f32)
+
+    return kernel
+
+
 def _profile_probe(x):
     """Tiny read of a stage output: keeps a profile-truncated pipeline's
     pallas calls live under DCE while costing ~nothing to materialize
@@ -677,7 +758,8 @@ def _profile_probe(x):
                      "super_factor", "cuts", "k1_chunk_size", "k1_tsub",
                      "k1_subcull", "full_height", "interpret",
                      "debug_counts", "budget_texels", "listed",
-                     "mxu_sweep", "profile_stop", "dyn_grid"),
+                     "mxu_sweep", "profile_stop", "dyn_grid",
+                     "combine_v2"),
 )
 def _render_image_regrouped_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -706,6 +788,7 @@ def _render_image_regrouped_jit(
     mxu_sweep: bool = False,
     profile_stop: str | None = None,
     dyn_grid: bool = False,
+    combine_v2: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -999,7 +1082,21 @@ def _render_image_regrouped_jit(
         tbl = jnp.where(tiles_alive, tbl_raw, src_count[0])
         tbl = jnp.clip(tbl, 0, jnp.maximum(src_count[0] - 1, 0))
         tbl = jnp.concatenate([tbl, src_count])
-        kern = _make_level_kernel()
+        if combine_v2:
+            kern = _make_level_kernel_v2()
+            scratch = [
+                pltpu.VMEM((3, 4, 32, 128), jnp.float32),  # tile window
+                pltpu.SemaphoreType.DMA((3,)),
+            ]
+        else:
+            kern = _make_level_kernel()
+            scratch = [
+                pltpu.VMEM((34, 8, 128), jnp.float32),
+                pltpu.VMEM((32, 128), jnp.float32),
+                pltpu.VMEM((32, 128), jnp.float32),
+                pltpu.VMEM((32, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((34,)),
+            ]
         base_spec = r8_blk_c() if out8 else contrib_blk_c()
         return pl.pallas_call(
             kern,
@@ -1010,13 +1107,7 @@ def _render_image_regrouped_jit(
                           pl.BlockSpec(memory_space=pl.ANY),
                           base_spec],
                 out_specs=r8_blk_c() if out8 else contrib_blk_c(),
-                scratch_shapes=[
-                    pltpu.VMEM((34, 8, 128), jnp.float32),
-                    pltpu.VMEM((32, 128), jnp.float32),
-                    pltpu.VMEM((32, 128), jnp.float32),
-                    pltpu.VMEM((32, 128), jnp.float32),
-                    pltpu.SemaphoreType.DMA((34,)),
-                ],
+                scratch_shapes=scratch,
             ),
             out_shape=r8_shape if out8 else contrib_shape,
             input_output_aliases={5: 0},
@@ -1049,7 +1140,8 @@ def _render_image_regrouped_jit(
 
 
 def render_image_regrouped(*args, mxu_sweep: bool | None = None,
-                           dyn_grid: bool | None = None, **kwargs):
+                           dyn_grid: bool | None = None,
+                           combine_v2: bool | None = None, **kwargs):
     """Public entry: resolves the scene-size/env defaults eagerly so the
     jit cache keys on concrete bools (an env flip mid-process would
     otherwise be silently ignored via the cached None trace)."""
@@ -1065,7 +1157,13 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
         # Mrays/s, random10k 4K 179.0 -> 180.4), so default ON;
         # WRT_DYN_GRID=0 reverts to the static full-tile grid.
         dyn_grid = os.environ.get("WRT_DYN_GRID", "1") == "1"
+    if combine_v2 is None:
+        # windowed-matmul combine level: bit-identical to v1
+        # (tests/test_regroup.py), default off until the queued chip
+        # session prices it (WRT_COMBINE_V2=1 to measure)
+        combine_v2 = os.environ.get("WRT_COMBINE_V2", "0") == "1"
     kwargs["dyn_grid"] = bool(dyn_grid)
+    kwargs["combine_v2"] = bool(combine_v2)
     return _render_image_regrouped_jit(*args, mxu_sweep=bool(mxu_sweep),
                                        **kwargs)
 
