@@ -48,9 +48,10 @@ def _run(body: str) -> None:
 
 def test_regroup_mxu_dyn_grid_lowers_for_tpu():
     """The most knob-loaded fused config: MXU chunk sweep in K0 AND K1,
-    dynamic grid bounds on pack/K1/combine, and the windowed-matmul
-    combine level. One export covers all four kernels' Mosaic lowering
-    (the v1 combine level keeps its gate via the textured test below)."""
+    dynamic grid bounds on pack/K1/combine, the windowed-matmul combine
+    level, and the matmul-merge pack. One export covers all four
+    kernels' Mosaic lowering (the v1 combine/pack kernels keep their
+    gate via the textured test below)."""
     _run("""
 scene = scenes.rtiow_final().build()
 basis = CameraBasis.create(scenes.rtiow_final_camera(), (W, H))
@@ -62,7 +63,7 @@ def f(accum, frame, clear, scene, sky):
     return render_image_regrouped(
         accum, frame, clear, scene, sky, basis, width=W, height=H,
         spp=8, num_bounces=8, cuts=(2, 4), interpret=False,
-        mxu_sweep=True, dyn_grid=True, combine_v2=True)
+        mxu_sweep=True, dyn_grid=True, combine_v2=True, pack_v2=True)
 
 
 export_tpu(f, accum, jnp.uint32(0), jnp.asarray(True), scene, sky)

@@ -312,3 +312,22 @@ def test_combine_v2_bit_identical(rtiow):
                                     **kw)
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
     assert [int(c[0]) for c in c1] == [int(c[0]) for c in c2]
+
+
+def test_pack_v2_bit_identical(rtiow):
+    """The matmul-merge pack (round 4) must be bit-identical to the
+    scalar-merge v1 with identical per-phase live counts: the composed
+    rank gather and one-hot destination-row matmuls (precision='highest')
+    compute the same permutation, and the unconditional clamped row DMAs
+    only ever write rows a later step, the flush, or the never-read
+    dense tail owns."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=6, cuts=(2, 4))
+    v1, c1 = render_image_regrouped(*_args(scene, sky, basis),
+                                    pack_v2=False, debug_counts=True,
+                                    **kw)
+    v2, c2 = render_image_regrouped(*_args(scene, sky, basis),
+                                    pack_v2=True, debug_counts=True,
+                                    **kw)
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    assert [int(c[0]) for c in c1] == [int(c[0]) for c in c2]

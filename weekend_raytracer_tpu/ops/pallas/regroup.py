@@ -417,6 +417,157 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
     count_out_ref[0] = counter_smem[0]
 
 
+def _pack_kernel_v2(count_in_ref, pool_ref, cpool_hbm, inv_ref,
+                    count_out_ref, acc_vmem, staging, fill_smem,
+                    counter_smem, sems):
+    """Matmul-merge variant of _pack_kernel (round 4): identical
+    contract, bit-identical outputs (tests/test_regroup.py).
+
+    v1 spends its step in a 32-iteration scalar merge loop plus up to
+    66 lax.cond-guarded row DMAs (~90 cycles per cond on v5e). v2
+    removes both:
+
+    - The merge is data-independent once destinations are known:
+      record (row j, rank r) lands at staging row
+      s = (fill0 + row_base[j] + r) >> 7, lane (...) & 127. The lane
+      move composes with the rank gather (one take_along_axis per
+      component, composed source index), and the row move is a pair of
+      exact one-hot matmuls (dim-0-contracting dot_general at
+      precision=highest — the _make_bounce MXU pattern): each input
+      row sends its non-wrapping lanes to staging row s0_j and its
+      wrapping lanes to s0_j + 1; lane-disjointness of the dense
+      layout makes the masked sum a permutation, so precision=highest
+      keeps it bit-exact (each output lane receives one record).
+    - The row DMAs are unconditional with clamped indices: slots past
+      this step's emit count write garbage rows that lie at or beyond
+      the NEXT step's base, so the owning later step (or the final
+      flush, or the never-read dense tail) overwrites them before any
+      consumer can see them — no cond needs to guard the writes.
+    """
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    is_last = t == n_tiles - 1
+    max_row = cpool_hbm.shape[0] * 32 - 1
+
+    @pl.when(t == 0)
+    def _():
+        counter_smem[0] = 0
+        fill_smem[0] = 0
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
+    limit = count_in_ref[0] - t * 32
+
+    @pl.when(limit > 0)
+    def _():
+        alive = jnp.where(rows < limit, pool_ref[0, _AL], 0.0)
+
+        c = _cumsum_lanes(alive)
+        k_vec = c[:, 127:128]
+        target = lane.astype(f32) + 1.0
+        src = _lower_bound(c, target)
+
+        base = counter_smem[0]
+        fill0 = fill_smem[0]
+        k_bcast = jnp.broadcast_to(k_vec, (32, 128))
+        row_base = _cumsum_rows(k_bcast) - k_bcast
+        rb_i = row_base.astype(jnp.int32)
+
+        if inv_ref is not None:
+            g_idx = base * 128 + fill0 + rb_i
+            d_idx = g_idx + c.astype(jnp.int32) - 1
+            alive_b = alive > 0.5
+            inv_ref[0, _INV_ROW] = jnp.where(
+                alive_b, (d_idx >> 7).astype(f32), _DEAD_ROW)
+            inv_ref[0, _INV_LANE] = jnp.where(
+                alive_b, (d_idx & 127).astype(f32), 0.0)
+            inv_ref[0, _INV_FIRST] = (g_idx >> 7).astype(f32)
+            inv_ref[0, 3] = jnp.zeros((32, 128), f32)
+
+        pos0 = fill0 + rb_i          # first dense position, const per row
+        shift = pos0 & 127
+        s0 = pos0 >> 7               # staging row of the non-wrap part
+        rankv = (lane - shift) & 127
+        csrc = jnp.take_along_axis(
+            src.astype(f32), rankv, axis=1).astype(jnp.int32)
+        k_i = k_bcast.astype(jnp.int32)
+        valid_a = (rankv < k_i) & (lane >= shift)
+        valid_b = (rankv < k_i) & (lane < shift)
+
+        parts_a, parts_b = [], []
+        for comp in range(N_COMP):
+            if comp == _AL:
+                g = jnp.ones((32, 128), f32)
+            else:
+                g = jnp.take_along_axis(pool_ref[0, comp], csrc, axis=1)
+            parts_a.append(jnp.where(valid_a, g, 0.0))
+            parts_b.append(jnp.where(valid_b, g, 0.0))
+        a_all = jnp.concatenate(parts_a, axis=1)  # (32, N_COMP*128)
+        b_all = jnp.concatenate(parts_b, axis=1)
+
+        # one-hot row matrices, input-row-major: P[j, s] = (s == s0_j)
+        s0r = s0[:, 0:1]
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (32, 40), 1)
+        p0 = (iota_s == s0r).astype(f32)
+        p1 = (iota_s == (s0r + 1)).astype(f32)
+        dn = (((0,), (0,)), ((), ()))
+        hi = jax.lax.Precision.HIGHEST
+        s_all = (jax.lax.dot_general(p0, a_all, dn, precision=hi)
+                 + jax.lax.dot_general(p1, b_all, dn, precision=hi))
+
+        tot = fill0 + jnp.sum(alive).astype(jnp.int32)
+        emit = tot >> 7              # full staging rows to write out
+        lane40 = jax.lax.broadcasted_iota(jnp.int32, (40, 128), 1)
+        srow40 = jax.lax.broadcasted_iota(jnp.int32, (40, 128), 0)
+        carry_mask = (srow40 == 0) & (lane40 < fill0)
+        for comp in range(N_COMP):
+            s_c = s_all[:, comp * 128:(comp + 1) * 128]
+            acc_c = jnp.broadcast_to(acc_vmem[comp, 0:1, :], (40, 128))
+            staging[comp] = jnp.where(carry_mask, acc_c, s_c)
+        new_acc = staging[:, pl.ds(emit, 1), :]   # partial row -> carry
+        acc_vmem[:, 0:1, :] = new_acc
+        counter_smem[0] = base + emit
+        fill_smem[0] = tot & 127
+
+        for j2 in range(33):
+            d = jnp.minimum(base + j2, max_row)
+            pltpu.make_async_copy(
+                staging.at[:, j2],
+                cpool_hbm.at[d // 32, :, d % 32],
+                sems.at[j2],
+            ).start()
+        for j2 in range(33):
+            pltpu.make_async_copy(
+                staging.at[:, j2],
+                cpool_hbm.at[jnp.minimum(base + j2, max_row) // 32, :,
+                             jnp.minimum(base + j2, max_row) % 32],
+                sems.at[j2],
+            ).wait()
+
+    @pl.when(is_last & (fill_smem[0] > 0))
+    def _():
+        # flush the partial carry row; dead tail lanes get the home
+        # sentinel so no unpack pass can ever match them
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (N_COMP, 128), 1)
+        base = counter_smem[0]
+        flush = acc_vmem[:, 0, :]
+        tail = lane1 >= fill_smem[0]
+        comp_i = jax.lax.broadcasted_iota(jnp.int32, (N_COMP, 128), 0)
+        flush = jnp.where(tail & (comp_i == _HHI), _DEAD_HHI, flush)
+        staging[:, pl.ds(0, 1), :] = flush[:, None, :]
+        copy = pltpu.make_async_copy(
+            staging.at[:, 0],
+            cpool_hbm.at[base // 32, :, base % 32],
+            sems.at[0],
+        )
+        copy.start()
+        copy.wait()
+        counter_smem[0] = base + 1
+
+    count_out_ref[0] = counter_smem[0]
+
+
 def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
              width, height, spp, tiles_x, block_w, spp_shift,
              textures=False, stats=False, tsub1=32, retr=False,
@@ -759,7 +910,7 @@ def _profile_probe(x):
                      "k1_subcull", "full_height", "interpret",
                      "debug_counts", "budget_texels", "listed",
                      "mxu_sweep", "profile_stop", "dyn_grid",
-                     "combine_v2"),
+                     "combine_v2", "pack_v2"),
 )
 def _render_image_regrouped_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -789,6 +940,7 @@ def _render_image_regrouped_jit(
     profile_stop: str | None = None,
     dyn_grid: bool = False,
     combine_v2: bool = False,
+    pack_v2: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -986,23 +1138,35 @@ def _render_image_regrouped_jit(
         # grid steps past the live input tiles revisit the last live
         # block (no dead-tile DMA). ---
         dest_count = count  # rows of this pack's input space
+        if pack_v2:
+            pack_kern = _pack_kernel_v2
+            pack_scratch = [
+                pltpu.VMEM((N_COMP, 8, 128), jnp.float32),   # acc carry
+                pltpu.VMEM((N_COMP, 40, 128), jnp.float32),  # staging
+                pltpu.SMEM((1,), jnp.int32),                 # fill
+                pltpu.SMEM((1,), jnp.int32),                 # counter
+                pltpu.SemaphoreType.DMA((33,)),
+            ]
+        else:
+            pack_kern = _pack_kernel
+            pack_scratch = [
+                pltpu.VMEM((N_COMP, 32, 128), jnp.float32),  # pscratch
+                pltpu.VMEM((32, 128), jnp.float32),          # counts
+                pltpu.VMEM((N_COMP, 128), jnp.float32),      # acc carry
+                pltpu.VMEM((34, N_COMP, 128), jnp.float32),  # staging
+                pltpu.SMEM((1,), jnp.int32),                 # fill
+                pltpu.SMEM((1,), jnp.int32),                 # counter
+                pltpu.SemaphoreType.DMA((33,)),
+            ]
         packed = pl.pallas_call(
-            _pack_kernel,
+            pack_kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(live_grid(count),),
                 in_specs=[pool_blk_c()],
                 out_specs=(pl.BlockSpec(memory_space=pl.ANY), inv_blk_c(),
                            pl.BlockSpec(memory_space=pltpu.SMEM)),
-                scratch_shapes=[
-                    pltpu.VMEM((N_COMP, 32, 128), jnp.float32),  # pscratch
-                    pltpu.VMEM((32, 128), jnp.float32),          # counts
-                    pltpu.VMEM((N_COMP, 128), jnp.float32),      # acc carry
-                    pltpu.VMEM((34, N_COMP, 128), jnp.float32),  # staging
-                    pltpu.SMEM((1,), jnp.int32),                 # fill
-                    pltpu.SMEM((1,), jnp.int32),                 # counter
-                    pltpu.SemaphoreType.DMA((33,)),
-                ],
+                scratch_shapes=pack_scratch,
             ),
             out_shape=(pool_shape, inv_shape,
                        jax.ShapeDtypeStruct((1,), jnp.int32)),
@@ -1141,7 +1305,8 @@ def _render_image_regrouped_jit(
 
 def render_image_regrouped(*args, mxu_sweep: bool | None = None,
                            dyn_grid: bool | None = None,
-                           combine_v2: bool | None = None, **kwargs):
+                           combine_v2: bool | None = None,
+                           pack_v2: bool | None = None, **kwargs):
     """Public entry: resolves the scene-size/env defaults eagerly so the
     jit cache keys on concrete bools (an env flip mid-process would
     otherwise be silently ignored via the cached None trace)."""
@@ -1162,8 +1327,14 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
         # (tests/test_regroup.py), default off until the queued chip
         # session prices it (WRT_COMBINE_V2=1 to measure)
         combine_v2 = os.environ.get("WRT_COMBINE_V2", "0") == "1"
+    if pack_v2 is None:
+        # matmul-merge pack: bit-identical to v1 (tests/test_regroup.py),
+        # default off until the queued chip session prices it
+        # (WRT_PACK_V2=1 to measure)
+        pack_v2 = os.environ.get("WRT_PACK_V2", "0") == "1"
     kwargs["dyn_grid"] = bool(dyn_grid)
     kwargs["combine_v2"] = bool(combine_v2)
+    kwargs["pack_v2"] = bool(pack_v2)
     return _render_image_regrouped_jit(*args, mxu_sweep=bool(mxu_sweep),
                                        **kwargs)
 
