@@ -417,9 +417,7 @@ def _pack_kernel(count_in_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
     count_out_ref[0] = counter_smem[0]
 
 
-def _pack_kernel_v2(count_in_ref, pool_ref, cpool_hbm, inv_ref,
-                    count_out_ref, acc_vmem, staging, fill_smem,
-                    counter_smem, sems):
+def _make_pack_kernel_v2(indirect: bool = False):
     """Matmul-merge variant of _pack_kernel (round 4): identical
     contract, bit-identical outputs (tests/test_regroup.py).
 
@@ -443,7 +441,33 @@ def _pack_kernel_v2(count_in_ref, pool_ref, cpool_hbm, inv_ref,
       the NEXT step's base, so the owning later step (or the final
       flush, or the never-read dense tail) overwrites them before any
       consumer can see them — no cond needs to guard the writes.
+
+    With indirect=True the kernel takes a second prefetched scalar
+    table (the live-tile list): grid step t packs tile list[t], so
+    all-dead tiles are never visited at all (their inv blocks stay
+    uninitialized — by contract the skip-dead combine level never
+    reads them). The dense order is unchanged: skipped tiles
+    contribute zero records, so the pool stays bit-identical.
     """
+
+    def kernel(count_in_ref, *rest):
+        if indirect:
+            (list_ref, pool_ref, cpool_hbm, inv_ref, count_out_ref,
+             acc_vmem, staging, fill_smem, counter_smem, sems) = rest
+        else:
+            list_ref = None
+            (pool_ref, cpool_hbm, inv_ref, count_out_ref,
+             acc_vmem, staging, fill_smem, counter_smem, sems) = rest
+        _pack_v2_body(count_in_ref, list_ref, pool_ref, cpool_hbm,
+                      inv_ref, count_out_ref, acc_vmem, staging,
+                      fill_smem, counter_smem, sems)
+
+    return kernel
+
+
+def _pack_v2_body(count_in_ref, list_ref, pool_ref, cpool_hbm, inv_ref,
+                  count_out_ref, acc_vmem, staging, fill_smem,
+                  counter_smem, sems):
     f32 = jnp.float32
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -457,7 +481,8 @@ def _pack_kernel_v2(count_in_ref, pool_ref, cpool_hbm, inv_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
-    limit = count_in_ref[0] - t * 32
+    tile = t if list_ref is None else list_ref[t]
+    limit = count_in_ref[0] - tile * 32
 
     @pl.when(limit > 0)
     def _():
@@ -813,7 +838,7 @@ def _make_level_kernel():
     return kernel
 
 
-def _make_level_kernel_v2():
+def _make_level_kernel_v2(indirect: bool = False):
     """Windowed-matmul reverse-combine level (round 4).
 
     Same contract and bit-identical output as _make_level_kernel,
@@ -835,17 +860,32 @@ def _make_level_kernel_v2():
     [t0*32, t0*32 + 66) — inside the 96-row / 3-tile window. Rows past
     the live count read garbage tiles (clamped to the last live source
     tile) but their records are _DEAD_ROW-masked and never selected.
+
+    With indirect=True the prefetched scalars are (live-tile count,
+    live-tile list): grid step t combines dest tile list[t] and
+    all-dead dest tiles are never visited — their aliased base/out
+    blocks keep the K0 contribution untouched, and their (possibly
+    uninitialized, skip-dead-pack) inverse-map blocks are never read.
     """
 
-    def kernel(dcount_ref, tbl_ref, count_ref, inv_ref, src_hbm,
-               base_in, out_ref, win, sems):
+    def kernel(dcount_ref, *rest):
+        if indirect:
+            (list_ref, tbl_ref, count_ref, inv_ref, src_hbm,
+             base_in, out_ref, win, sems) = rest
+        else:
+            list_ref = None
+            (tbl_ref, count_ref, inv_ref, src_hbm,
+             base_in, out_ref, win, sems) = rest
         f32 = jnp.float32
         t = pl.program_id(0)
+        tile = t if list_ref is None else list_ref[t]
+        guard = ((tile * 32 < dcount_ref[0]) if list_ref is None
+                 else (t < dcount_ref[0]))
 
-        @pl.when(t * 32 < dcount_ref[0])
+        @pl.when(guard)
         def _():
             count = count_ref[0]
-            start = tbl_ref[t]
+            start = tbl_ref[tile]
             t0 = start // 32
             last = jnp.maximum((count + 31) // 32 - 1, 0)
             for k in range(3):
@@ -910,7 +950,7 @@ def _profile_probe(x):
                      "k1_subcull", "full_height", "interpret",
                      "debug_counts", "budget_texels", "listed",
                      "mxu_sweep", "profile_stop", "dyn_grid",
-                     "combine_v2", "pack_v2"),
+                     "combine_v2", "pack_v2", "skip_dead"),
 )
 def _render_image_regrouped_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -941,6 +981,7 @@ def _render_image_regrouped_jit(
     dyn_grid: bool = False,
     combine_v2: bool = False,
     pack_v2: bool = False,
+    skip_dead: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -965,6 +1006,10 @@ def _render_image_regrouped_jit(
         interpret = _is_cpu()
     if full_height is None:
         full_height = height
+    if skip_dead and not (pack_v2 and combine_v2):
+        raise ValueError("skip_dead requires pack_v2 and combine_v2 "
+                         "(the indirection is implemented on the v2 "
+                         "kernels only)")
     if chunk_size is None:
         from .megakernel import default_chunk_size
 
@@ -1093,6 +1138,24 @@ def _render_image_regrouped_jit(
 
     count = jnp.asarray([n_rows], jnp.int32)
 
+    if skip_dead:
+        # Live-tile indirection for the full-grid phases (pack #1 and
+        # the final combine level): a K0 tile whose 4096 records are
+        # ALL dead (pure-sky tiles die at bounce 0-1) contributes
+        # nothing to the dense pool and its home contribution is
+        # already final, so neither phase needs to visit it. The list
+        # is built XLA-side from the pool's alive component (a cheap
+        # strided reduce), prefetched, and dereferenced by the block
+        # index maps; the dense order (and so every pool, count and
+        # inverse map entry that is ever read) is bit-identical.
+        tile_live = pool[:, _AL].reshape(n_tiles, -1).sum(axis=1) > 0
+        tl_i = tile_live.astype(jnp.int32)
+        lpos = jnp.cumsum(tl_i) - tl_i
+        live_list = jnp.zeros((n_tiles,), jnp.int32).at[
+            jnp.where(tile_live, lpos, n_tiles)].set(
+            jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
+        n_live = jnp.asarray([lpos[-1] + tl_i[-1]], jnp.int32)
+
     def live_tiles(c_ref):
         # last live tile index for clamped block maps (>=0 even at c=0)
         return jnp.maximum((c_ref[0] + 31) // 32 - 1, 0)
@@ -1138,8 +1201,9 @@ def _render_image_regrouped_jit(
         # grid steps past the live input tiles revisit the last live
         # block (no dead-tile DMA). ---
         dest_count = count  # rows of this pack's input space
+        indirect0 = skip_dead and pi == 0
         if pack_v2:
-            pack_kern = _pack_kernel_v2
+            pack_kern = _make_pack_kernel_v2(indirect=indirect0)
             pack_scratch = [
                 pltpu.VMEM((N_COMP, 8, 128), jnp.float32),   # acc carry
                 pltpu.VMEM((N_COMP, 40, 128), jnp.float32),  # staging
@@ -1158,24 +1222,47 @@ def _render_image_regrouped_jit(
                 pltpu.SMEM((1,), jnp.int32),                 # counter
                 pltpu.SemaphoreType.DMA((33,)),
             ]
-        packed = pl.pallas_call(
-            pack_kern,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
+        if indirect0:
+            ind_blk = lambda nd: pl.BlockSpec(
+                (1, nd, 32, 128),
+                lambda i, c, l: (l[i], 0, 0, 0),
+                memory_space=pltpu.VMEM)
+            pack_args = dict(
+                num_scalar_prefetch=2,
+                grid=(jnp.maximum(n_live[0], 1),),
+                in_specs=[ind_blk(N_COMP)],
+                out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                           ind_blk(N_INV),
+                           pl.BlockSpec(memory_space=pltpu.SMEM)),
+            )
+            pack_operands = (count, live_list, pool)
+        else:
+            pack_args = dict(
                 num_scalar_prefetch=1,
                 grid=(live_grid(count),),
                 in_specs=[pool_blk_c()],
                 out_specs=(pl.BlockSpec(memory_space=pl.ANY), inv_blk_c(),
                            pl.BlockSpec(memory_space=pltpu.SMEM)),
-                scratch_shapes=pack_scratch,
+            )
+            pack_operands = (count, pool)
+        packed = pl.pallas_call(
+            pack_kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                scratch_shapes=pack_scratch, **pack_args,
             ),
             out_shape=(pool_shape, inv_shape,
                        jax.ShapeDtypeStruct((1,), jnp.int32)),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(count, pool)
+        )(*pack_operands)
         cpool, inv, count = packed
         if profile_stop == "pack" and pi == 0:
-            return (_profile_probe(cpool) + _profile_probe(inv)
+            # under skip_dead, dead tiles' inv blocks are uninitialized
+            # HBM (never read by the skip-dead combine) — keep the
+            # probe off them
+            inv_probe = (jnp.float32(0.0) if indirect0
+                         else _profile_probe(inv))
+            return (_profile_probe(cpool) + inv_probe
                     + count[0].astype(jnp.float32))
 
         # --- K1: resume bounces on dense tiles (same clamped maps).
@@ -1239,15 +1326,17 @@ def _render_image_regrouped_jit(
         lambda i, c: (jnp.minimum(i, live_tiles(c)), 0, 0, 0),
         memory_space=pltpu.VMEM)
 
-    def combine_level(inv_i, src_count, dest_count, src_pool, base, out8):
+    def combine_level(inv_i, src_count, dest_count, src_pool, base, out8,
+                      home=False):
         tiles_alive = (jnp.arange(n_tiles, dtype=jnp.int32) * 32
                        < dest_count[0])
         tbl_raw = inv_i[:, _INV_FIRST, 0, 0].astype(jnp.int32)
         tbl = jnp.where(tiles_alive, tbl_raw, src_count[0])
         tbl = jnp.clip(tbl, 0, jnp.maximum(src_count[0] - 1, 0))
         tbl = jnp.concatenate([tbl, src_count])
+        indirect = skip_dead and home
         if combine_v2:
-            kern = _make_level_kernel_v2()
+            kern = _make_level_kernel_v2(indirect=indirect)
             scratch = [
                 pltpu.VMEM((3, 4, 32, 128), jnp.float32),  # tile window
                 pltpu.SemaphoreType.DMA((3,)),
@@ -1262,21 +1351,43 @@ def _render_image_regrouped_jit(
                 pltpu.SemaphoreType.DMA((34,)),
             ]
         base_spec = r8_blk_c() if out8 else contrib_blk_c()
-        return pl.pallas_call(
-            kern,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
+        if indirect:
+            ind_blk = lambda nd: pl.BlockSpec(
+                (1, nd, 32, 128),
+                lambda i, n, l: (l[i], 0, 0, 0),
+                memory_space=pltpu.VMEM)
+            lvl_args = dict(
+                num_scalar_prefetch=2,
+                grid=(jnp.maximum(n_live[0], 1),),
+                in_specs=[smem(), smem(), ind_blk(N_INV),
+                          pl.BlockSpec(memory_space=pl.ANY),
+                          ind_blk(base.shape[1])],
+                out_specs=ind_blk(4 if out8 else 3),
+            )
+            lvl_operands = (n_live, live_list, tbl, src_count, inv_i,
+                            src_pool, base)
+            alias = {6: 0}
+        else:
+            lvl_args = dict(
                 num_scalar_prefetch=1,
                 grid=(live_grid(dest_count),),
                 in_specs=[smem(), smem(), inv_blk_c(),
                           pl.BlockSpec(memory_space=pl.ANY),
                           base_spec],
                 out_specs=r8_blk_c() if out8 else contrib_blk_c(),
-                scratch_shapes=scratch,
+            )
+            lvl_operands = (dest_count, tbl, src_count, inv_i, src_pool,
+                            base)
+            alias = {5: 0}
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                scratch_shapes=scratch, **lvl_args,
             ),
             out_shape=r8_shape if out8 else contrib_shape,
-            input_output_aliases={5: 0},
+            input_output_aliases=alias,
             interpret=interpret,
-        )(dest_count, tbl, src_count, inv_i, src_pool, base)
+        )(*lvl_operands)
 
     src = phases[-1][0]
     for pi in range(len(phases) - 1, 0, -1):
@@ -1284,7 +1395,7 @@ def _render_image_regrouped_jit(
         _, src_count, inv_i, dc = phases[pi]
         src = combine_level(inv_i, src_count, dc, src, r8_prev, out8=True)
     contrib = combine_level(phases[0][2], phases[0][1], phases[0][3],
-                            src, contrib, out8=False)
+                            src, contrib, out8=False, home=True)
     if profile_stop == "combine":
         return _profile_probe(contrib)
 
@@ -1306,7 +1417,8 @@ def _render_image_regrouped_jit(
 def render_image_regrouped(*args, mxu_sweep: bool | None = None,
                            dyn_grid: bool | None = None,
                            combine_v2: bool | None = None,
-                           pack_v2: bool | None = None, **kwargs):
+                           pack_v2: bool | None = None,
+                           skip_dead: bool | None = None, **kwargs):
     """Public entry: resolves the scene-size/env defaults eagerly so the
     jit cache keys on concrete bools (an env flip mid-process would
     otherwise be silently ignored via the cached None trace)."""
@@ -1332,9 +1444,18 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
         # default off until the queued chip session prices it
         # (WRT_PACK_V2=1 to measure)
         pack_v2 = os.environ.get("WRT_PACK_V2", "0") == "1"
+    if skip_dead is None:
+        # live-tile indirection for pack #1 + the final combine level:
+        # bit-identical, default off until the queued chip session
+        # prices it (WRT_SKIP_DEAD=1 to measure)
+        skip_dead = os.environ.get("WRT_SKIP_DEAD", "0") == "1"
+    if skip_dead:
+        # the indirection is implemented on the v2 kernels only
+        combine_v2 = pack_v2 = True
     kwargs["dyn_grid"] = bool(dyn_grid)
     kwargs["combine_v2"] = bool(combine_v2)
     kwargs["pack_v2"] = bool(pack_v2)
+    kwargs["skip_dead"] = bool(skip_dead)
     return _render_image_regrouped_jit(*args, mxu_sweep=bool(mxu_sweep),
                                        **kwargs)
 
