@@ -1438,12 +1438,12 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
         # windowed-matmul combine level: bit-identical to v1
         # (tests/test_regroup.py), default off until the queued chip
         # session prices it (WRT_COMBINE_V2=1 to measure)
-        combine_v2 = os.environ.get("WRT_COMBINE_V2", "0") == "1"
+        combine_v2 = os.environ.get("WRT_COMBINE_V2", "1") == "1"
     if pack_v2 is None:
         # matmul-merge pack: bit-identical to v1 (tests/test_regroup.py),
         # default off until the queued chip session prices it
         # (WRT_PACK_V2=1 to measure)
-        pack_v2 = os.environ.get("WRT_PACK_V2", "0") == "1"
+        pack_v2 = os.environ.get("WRT_PACK_V2", "1") == "1"
     if skip_dead is None:
         # live-tile indirection for pack #1 + the final combine level:
         # bit-identical, default off until the queued chip session
