@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # results_tpu_v5e.jsonl rows from different rounds/harnesses are
 # distinguishable (VERDICT r3 #6). Bump when run_config's protocol or
 # any config's shape/spp/fold changes.
-HARNESS = "r4"
+HARNESS = "r5"
 
 
 def run_config(name, desc, cam, size, spp, spp_frame, bounces, backend="auto"):

@@ -150,3 +150,67 @@ def test_renderer_hw_dataset_param(tmp_path, monkeypatch):
     assert not np.allclose(np.asarray(exact._sky.params),
                            np.asarray(fit._sky.params))
     assert exact._fingerprint() != fit._fingerprint()
+
+
+def _published_style_header(c, r):
+    """Emit a header in EXACTLY the published ArHosekSkyModelData_RGB.h
+    layout: license banner, `static const double name[] =`, opening brace
+    on its own line, one tab-indented `%1.6e`-style value per line with
+    trailing commas, and `// albedo A, turbidity T` group comments INSIDE
+    the initializers (their digits must not leak into the parse)."""
+    parts = [
+        "/*\nThis file is part of a sample implementation of the\n"
+        "Hosek & Wilkie sky model. 2012.\n*/\n\n"
+        "#ifndef _SKYMODEL_DATA_RGB_H_\n#define _SKYMODEL_DATA_RGB_H_\n"
+    ]
+    for i in range(3):
+        lines = [f"static const double datasetRGB{i+1}[] =", "{"]
+        flat = c[i].reshape(2, 10, 6 * 9)
+        for a in range(2):
+            for t in range(10):
+                lines.append(f"\t// albedo {a}, turbidity {t + 1}")
+                lines.extend(f"\t{v:1.6e}," for v in flat[a, t])
+        lines[-1] = lines[-1].rstrip(",")
+        lines.append("};")
+        parts.append("\n".join(lines) + "\n")
+        lines = [f"static const double datasetRGBRad{i+1}[] =", "{"]
+        flat = r[i].reshape(2, 10, 6)
+        for a in range(2):
+            for t in range(10):
+                lines.append(f"\t// albedo {a}, turbidity {t + 1}")
+                lines.extend(f"\t{v:1.6e}," for v in flat[a, t])
+        lines[-1] = lines[-1].rstrip(",")
+        lines.append("};")
+        parts.append("\n".join(lines) + "\n")
+    parts.append("#endif // _SKYMODEL_DATA_RGB_H_\n")
+    return "\n".join(parts)
+
+
+def test_parse_header_published_layout(tmp_path):
+    """Full-size round-trip through a header in the authors' published
+    formatting, including in-array digit-bearing comments (VERDICT r4
+    item 7: the parser must survive the real file, not just a plain
+    number dump)."""
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal((3, 2, 10, 6, 9))
+    r = rng.standard_normal((3, 2, 10, 6)) + 5.0
+    path = tmp_path / "ArHosekSkyModelData_RGB.h"
+    path.write_text(_published_style_header(c, r))
+    c2, r2 = hw.parse_rgb_header(str(path))
+    # %1.6e has 7 significant digits
+    np.testing.assert_allclose(c2, c, rtol=5e-7, atol=1e-12)
+    np.testing.assert_allclose(r2, r, rtol=5e-7)
+
+
+def test_parse_header_rejects_truncated(tmp_path):
+    rng = np.random.default_rng(3)
+    c = rng.standard_normal((3, 2, 10, 6, 9))
+    r = rng.standard_normal((3, 2, 10, 6))
+    text = _published_style_header(c, r)
+    # drop the final dataset's closing brace region -> wrong count
+    cut = text.rindex("};")
+    bad = text[: cut - 400] + "};\n#endif\n"
+    path = tmp_path / "broken.h"
+    path.write_text(bad)
+    with pytest.raises(ValueError):
+        hw.parse_rgb_header(str(path))

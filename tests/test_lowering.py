@@ -89,3 +89,49 @@ def f(accum, frame, clear, scene, sky):
 
 export_tpu(f, accum, jnp.uint32(0), jnp.asarray(True), scene, sky)
 """)
+
+
+def test_skip_dead_regroup_lowers_for_tpu():
+    """skip_dead's indirect pack + indirect final-combine kernels (the
+    prefetched live-tile-list block maps) must pass Mosaic lowering
+    before any chip session prices the knob (repo rule: AOT-lower every
+    new kernel/knob at production shapes before queueing chip time)."""
+    _run("""
+scene = scenes.rtiow_final().build()
+basis = CameraBasis.create(scenes.rtiow_final_camera(), (W, H))
+sky = to_sky_state(SkyParams())
+accum = jnp.zeros((W * H, 3), jnp.float32)
+
+
+def f(accum, frame, clear, scene, sky):
+    return render_image_regrouped(
+        accum, frame, clear, scene, sky, basis, width=W, height=H,
+        spp=8, num_bounces=8, cuts=(2, 4), interpret=False,
+        dyn_grid=True, skip_dead=True)
+
+
+export_tpu(f, accum, jnp.uint32(0), jnp.asarray(True), scene, sky)
+""")
+
+
+def test_rowsweep_regroup_lowers_for_tpu():
+    """Row-granular K1 traversal (round 5): the per-row mask roll
+    reductions, rank-select binary search, one-hot table matmul, and
+    constant-index lane gathers must all pass Mosaic lowering at a
+    production-shaped config before any chip session prices the knob."""
+    _run("""
+scene = scenes.rtiow_final().build()
+basis = CameraBasis.create(scenes.rtiow_final_camera(), (W, H))
+sky = to_sky_state(SkyParams())
+accum = jnp.zeros((W * H, 3), jnp.float32)
+
+
+def f(accum, frame, clear, scene, sky):
+    return render_image_regrouped(
+        accum, frame, clear, scene, sky, basis, width=W, height=H,
+        spp=8, num_bounces=8, cuts=(2, 4), interpret=False,
+        dyn_grid=True, rowsweep=True, k1_tsub=8, k1_chunk_size=8)
+
+
+export_tpu(f, accum, jnp.uint32(0), jnp.asarray(True), scene, sky)
+""")

@@ -331,3 +331,82 @@ def test_pack_v2_bit_identical(rtiow):
                                     **kw)
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
     assert [int(c[0]) for c in c1] == [int(c[0]) for c in c2]
+
+
+def test_skip_dead_bit_identical(rtiow):
+    """skip_dead (live-tile indirection on pack #1 + the final combine
+    level) is a pure scheduling change: the dense order, every live
+    count, and the image are bit-identical to the full-grid v2 path
+    (and so, transitively, to v1)."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=6, cuts=(2, 4))
+    ref, c_ref = render_image_regrouped(*_args(scene, sky, basis),
+                                        combine_v2=True, pack_v2=True,
+                                        skip_dead=False,
+                                        debug_counts=True, **kw)
+    sd, c_sd = render_image_regrouped(*_args(scene, sky, basis),
+                                      skip_dead=True,
+                                      debug_counts=True, **kw)
+    assert np.array_equal(np.asarray(ref), np.asarray(sd))
+    assert [int(c[0]) for c in c_ref] == [int(c[0]) for c in c_sd]
+
+
+def test_skip_dead_requires_v2_kernels(rtiow):
+    """The indirection is implemented on the v2 kernels only; the jit
+    core refuses the unsupported combination instead of silently
+    ignoring it."""
+    scene, sky, basis = rtiow
+    from weekend_raytracer_tpu.ops.pallas.regroup import (
+        _render_image_regrouped_jit,
+    )
+    with pytest.raises(ValueError, match="skip_dead requires"):
+        _render_image_regrouped_jit(
+            *_args(scene, sky, basis), width=W, height=H, spp=4,
+            num_bounces=6, cuts=(2,), skip_dead=True, pack_v2=False,
+            combine_v2=False)
+
+
+def test_skip_dead_all_dead_frame(rtiow):
+    """A pure-sky frame (camera aimed straight up) kills every ray in
+    K0, so n_live == 0: the indirect pack/combine run a single
+    guard-off grid step and must leave the K0 contribution image
+    untouched (the guard-off base copy keeps the aliased writeback
+    idempotent — without it tile 0's contribution is clobbered)."""
+    from weekend_raytracer_tpu.models.camera import Camera
+
+    scene, sky, _ = rtiow
+    up_cam = Camera.look_at((0.0, 5000.0, 0.0), (0.0, 6000.0, 0.0),
+                            up=(1.0, 0.0, 0.0), vfov_degrees=20.0)
+    basis_up = CameraBasis.create(up_cam, (W, H))
+    kw = dict(width=W, height=H, spp=4, num_bounces=6, cuts=(2, 4))
+    ref = render_image_regrouped(*_args(scene, sky, basis_up),
+                                 combine_v2=True, pack_v2=True,
+                                 skip_dead=False, **kw)
+    sd, counts = render_image_regrouped(*_args(scene, sky, basis_up),
+                                        skip_dead=True,
+                                        debug_counts=True, **kw)
+    assert all(int(c[0]) == 0 for c in counts[1:])  # every ray died in K0
+    assert np.asarray(ref).max() > 0.0  # sky radiance, not a black frame
+    assert np.array_equal(np.asarray(ref), np.asarray(sd))
+
+
+def test_rowsweep_bit_identical(rtiow):
+    """Row-granular K1 traversal (round 5): each 128-lane row sweeps only
+    the chunks it enters (rank-select over a per-row mask + one-hot
+    precision='highest' attribute matmuls). Bit-identical to the cond
+    cull by the strict-< superset lemma — per row it sweeps a superset
+    of the sequentially-culled entered set and a subset of the tile
+    union, and any superset yields the same first-index-wins winner."""
+    scene, sky, basis = rtiow
+    kw = dict(width=W, height=H, spp=4, num_bounces=8, cuts=(2, 4))
+    ref, c_ref = render_image_regrouped(*_args(scene, sky, basis),
+                                        rowsweep=False, debug_counts=True,
+                                        **kw)
+    for extra in (dict(), dict(k1_tsub=8), dict(k1_chunk_size=8),
+                  dict(k1_chunk_size=8, k1_tsub=8)):
+        rs, c_rs = render_image_regrouped(*_args(scene, sky, basis),
+                                          rowsweep=True, debug_counts=True,
+                                          **kw, **extra)
+        assert np.array_equal(np.asarray(ref), np.asarray(rs)), extra
+        assert ([int(c[0]) for c in c_ref]
+                == [int(c[0]) for c in c_rs]), extra

@@ -54,6 +54,13 @@ def main(argv=None) -> int:
                         "cook sky coefficients exactly like the "
                         "reference's hw_skymodel crate instead of the "
                         "built-in Preetham fit (also: WRT_HW_DATASET)")
+    p.add_argument("--validate-hw-dataset", action="store_true",
+                   help="load --hw-dataset (or WRT_HW_DATASET), render "
+                        "the scene with the exact Hosek-Wilkie sky AND "
+                        "the built-in Preetham fit, and print one JSON "
+                        "line with the image RMSE between them — a "
+                        "one-command check that a user-supplied dataset "
+                        "parsed, cooked, and actually changed the sky")
     p.add_argument("--mxu-sweep", action="store_true",
                    help="run the closest-hit chunk sweeps on the MXU "
                         "(per-chunk matmuls) instead of the VPU FMA "
@@ -96,6 +103,54 @@ def main(argv=None) -> int:
             num_bounces=args.bounces,
         ),
     )
+
+    if args.validate_hw_dataset:
+        import os
+
+        import numpy as np
+
+        from .ops import tonemap
+
+        path = args.hw_dataset or os.environ.get("WRT_HW_DATASET")
+        if not path:
+            print("--validate-hw-dataset needs --hw-dataset PATH (or "
+                  "WRT_HW_DATASET)", file=sys.stderr)
+            return 2
+        # parse + cook up front so format errors surface as themselves,
+        # not as a renderer fallback to the builtin fit
+        from .models.hw_dataset import load_dataset  # noqa: F401
+
+        load_dataset(path)
+        imgs = {}
+        for tag, ds in (("hw2012", path), ("builtin", None)):
+            r = Renderer(scene, params, backend=args.backend,
+                         hw_dataset=ds,
+                         budget_texels=args.texture_budget)
+            r.render()
+            if tag == "hw2012" and r.sky_model() != "hosek-wilkie-2012-exact":
+                print(f"dataset at {path} did not activate the exact sky "
+                      f"(got {r.sky_model()!r})", file=sys.stderr)
+                return 1
+            imgs[tag] = (np.asarray(r.mean_radiance()),
+                         np.asarray(tonemap.to_srgb_u8(
+                             r.mean_radiance())).astype(np.float64))
+        lin_h, tm_h = imgs["hw2012"]
+        lin_b, tm_b = imgs["builtin"]
+        print(json.dumps({
+            "dataset": path,
+            "scene": args.scene,
+            "size": list(args.size),
+            "spp": args.spp,
+            "tonemapped_rmse_u8": round(
+                float(np.sqrt(np.mean((tm_h - tm_b) ** 2))), 4),
+            "linear_mean_hw": [round(float(v), 6)
+                               for v in lin_h.reshape(-1, 3).mean(0)],
+            "linear_mean_builtin": [round(float(v), 6)
+                                    for v in lin_b.reshape(-1, 3).mean(0)],
+            "sky_hw": "hosek-wilkie-2012-exact",
+            "sky_builtin": "preetham-fit-builtin",
+        }))
+        return 0
 
     backend = args.backend
     mesh = None

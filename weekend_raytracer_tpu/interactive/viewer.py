@@ -54,6 +54,12 @@ class _RawInput:
     def pending(self) -> bool:
         return bool(self.buf) or bool(select.select([self.fd], [], [], 0)[0])
 
+    def read_wait(self, timeout: float) -> None:
+        """Sleep until input is pending or the timeout passes (idle
+        wait for a converged render — consumes nothing)."""
+        if not self.buf:
+            select.select([self.fd], [], [], timeout)
+
     def read1(self, timeout: float | None = None) -> str:
         """One character; '' on timeout (when given) or EOF (sets .eof)."""
         if not self.buf:
@@ -87,7 +93,7 @@ def _halfblock_frame(img: np.ndarray) -> str:
 class TerminalViewer:
     def __init__(self, scene_desc, camera_controller: FlyCameraController,
                  viewport=(160, 90), sampling: SamplingParams | None = None,
-                 backend: str = "xla"):
+                 backend: str = "auto"):
         self.controller = camera_controller
         self.viewport = viewport
         self.sampling = sampling or SamplingParams()
@@ -225,10 +231,17 @@ class TerminalViewer:
             running = True
             while running:
                 t0 = time.perf_counter()
-                self.renderer.render_frame()
-                img = self.renderer.image()
-                self.fps.update(time.perf_counter() - t0)
-                self.draw(img)
+                advanced = self.renderer.render_frame()
+                if advanced:
+                    img = self.renderer.image()
+                    self.fps.update(time.perf_counter() - t0)
+                    self.draw(img)
+                else:
+                    # Converged (the reference's 0-spp 'done' state): the
+                    # image cannot change until a key/mouse edit resets
+                    # accumulation, so block on input instead of spinning
+                    # the render/draw loop at host speed.
+                    self._in.read_wait(0.25)
                 while running and self._in.pending():
                     if self._in.eof or not self.handle_key(self._read_key()):
                         running = False

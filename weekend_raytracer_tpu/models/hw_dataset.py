@@ -47,10 +47,15 @@ def parse_rgb_header(path: str) -> Tuple[np.ndarray, np.ndarray]:
     n = 1..3 for the R, G, B channels.
     """
     text = open(path, "r", errors="replace").read()
+    # The published header carries // and /* */ comments (including
+    # "// albedo 0, turbidity 1" markers INSIDE the array initializers,
+    # whose digits a bare number scan would swallow) — strip them first.
+    text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+    text = re.sub(r"//[^\n]*", " ", text)
     num = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
 
     def block(name, count):
-        m = re.search(name + r"\s*\[\s*\]\s*=\s*\{(.*?)\};", text, re.S)
+        m = re.search(name + r"\s*\[\s*\]\s*=\s*\{(.*?)\}\s*;", text, re.S)
         if m is None:
             raise ValueError(f"{name} not found in {path}")
         vals = [float(v) for v in num.findall(m.group(1))]

@@ -297,7 +297,7 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                  frustum_row=None, retr_lut_ref=None, lut_rows: int = 0,
                  export_hit: bool = False, subcull: int = 0,
                  chunk_list_ref=None, list_groups: int = 4,
-                 mxu_ref=None):
+                 mxu_ref=None, rowsweep_ref=None):
     """Build the (cond, body) pair for the per-bounce physics while_loop.
 
     One bounce = culled closest-hit sweep + winner-attribute retrieval +
@@ -348,6 +348,31 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
     prunes later ones. Results are bit-identical: a chunk the cond form
     skips has tnear >= current best-t for every live ray, so its spheres
     (inside the AABB, hence t >= tnear) can never win the strict-< merge.
+
+    rowsweep_ref (a VMEM (n_groups*128, 128) f32 ref of per-chunk
+    attribute rows, built by rowsweep_tab) switches the culled sweep to
+    the ROW-GRANULAR TRAVERSAL form (round 5): the cull granularity
+    drops from the whole (S, 128) block to a single 128-lane ROW —
+    offline replay put the 128-ray union at ~160 tests/segment vs ~480
+    for the 4096-ray tile union on RTiOW cs8 (docs/PERF.md round 3
+    sims) — while every VPU op stays full-width. Per front-to-back
+    chunk group: (1) an unconditional per-lane slab pass builds the
+    per-ROW entered mask M[r, c] (lane roll-reduce, no conds);
+    (2) a lane cumsum + 7-step rank-select (_lower_bound) turns M into
+    "row r's j-th entered chunk"; (3) a dynamic-trip fori runs
+    max-over-rows(count) steps, each fetching EVERY row's own chunk
+    attributes with one one-hot precision='highest' matmul against the
+    group's table slab (exact selection), broadcasting each sphere's
+    attrs to all lanes with constant-index gathers, and running the
+    standard strict-< sphere_ts merge. Bit-identical to the cond form:
+    each row sweeps a SUPERSET of its sequentially-culled entered set
+    (masks freeze best-t at group start; exhausted rows re-test a
+    clamped chunk) and a subset of the tile union — and any superset
+    of the winning set yields the same strict-< first-index-wins
+    winner. The -0.0 matmul caveat (see regroup._make_pack_kernel_v2)
+    is void here: a -0.0 attribute fetched as +0.0 feeds products and
+    sums whose results are identical for +-0.0 inputs (cx*dx with
+    dx != 0 keeps its sign from dx; cq sums are unaffected).
     """
     n_fixed = 16 if export_hit else 15
     textures = tex_pool_ref is not None
@@ -633,7 +658,140 @@ def _make_bounce(scene, bounds, supers, sky_ref, *, num_bounces, chunk_size,
                 carry,
             )
 
-        if chunk_list_ref is not None and culling:
+        if rowsweep_ref is not None and culling:
+            # Row-granular traversal (see the factory docstring). All
+            # primitives are chip-proven: pltpu.roll reductions, the
+            # 7-step lane binary search, one-hot precision=highest
+            # matmuls, and lane-axis take_along_axis.
+            n_groups_r = rowsweep_groups(n_chunks)
+            gsz_r = -(-n_chunks // n_groups_r)
+            cs_r = chunk_size
+            S_r = ox.shape[0]
+            lane_r = jax.lax.broadcasted_iota(jnp.int32, (S_r, 128), 1)
+
+            def _lanemax(x):
+                # cyclic roll max-reduce: every lane ends with the row max
+                for s in (1, 2, 4, 8, 16, 32, 64):
+                    x = jnp.maximum(x, pltpu.roll(x, s, 1))
+                return x
+
+            def _lanesum_inc(x):
+                # inclusive lane cumsum (Hillis-Steele, as regroup's)
+                for s in (1, 2, 4, 8, 16, 32, 64):
+                    sh = pltpu.roll(x, s, 1)
+                    x = x + jnp.where(lane_r >= s, sh, 0.0)
+                return x
+
+            def _rank_select(c, target):
+                # smallest lane j (per row) with c[row, j] >= target
+                lo = jnp.zeros(c.shape, jnp.int32)
+                hi = jnp.full(c.shape, c.shape[-1] - 1, jnp.int32)
+                for _ in range(7):
+                    mid = (lo + hi) >> 1
+                    v = jnp.take_along_axis(c, mid, axis=-1)
+                    ge = v >= target
+                    hi = jnp.where(ge, mid, hi)
+                    lo = jnp.where(ge, lo, mid + 1)
+                return lo
+
+            def full_sweep(carry0):
+                cr = carry0
+                for g in range(n_groups_r):
+                    c_lo = g * gsz_r
+                    c_hi = min((g + 1) * gsz_r, n_chunks)
+                    if c_lo >= c_hi:
+                        continue
+                    cg = c_hi - c_lo
+                    bt0 = cr[0]
+
+                    def mask_body(c, m, bt0=bt0, c_lo=c_lo):
+                        # per-lane slab test (slab_hit without the
+                        # block-wide any), roll-reduced to a per-row bit
+                        tx0 = (clox[c] - ox) * inv_dx
+                        tx1 = (chix[c] - ox) * inv_dx
+                        ty0 = (cloy[c] - oy) * inv_dy
+                        ty1 = (chiy[c] - oy) * inv_dy
+                        tz0 = (cloz[c] - oz) * inv_dz
+                        tz1 = (chiz[c] - oz) * inv_dz
+                        tnear = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1),
+                                        jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1))
+                        tfar = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+                        e = (alive & (tfar >= tnear) & (tfar > MIN_T)
+                             & (tnear < bt0)).astype(f32)
+                        return jnp.where(lane_r == (c - c_lo),
+                                         _lanemax(e), m)
+
+                    M = jax.lax.fori_loop(c_lo, c_hi, mask_body,
+                                          jnp.zeros((S_r, 128), f32))
+                    csum = _lanesum_inc(M)
+                    kvec = csum[:, 127:128]
+                    trip = jnp.max(kvec).astype(jnp.int32)
+
+                    def step(j, cr2, g=g, cg=cg, c_lo=c_lo, csum=csum):
+                        bt2, bi2 = cr2[0], cr2[1]
+                        od_c, oo_c = cr2[8], cr2[9]
+                        target = jnp.broadcast_to(
+                            (j + 1).astype(f32), (S_r, 128))
+                        sel = jnp.minimum(_rank_select(csum, target),
+                                          cg - 1)
+                        p = (lane_r == sel).astype(f32)
+                        tg = rowsweep_ref[g * 128:(g + 1) * 128, :]
+                        w = jax.lax.dot_general(
+                            p, tg, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+                        chunk_f = (sel + c_lo).astype(f32)
+                        items = []
+                        for k in range(cs_r):
+                            ga = [jnp.take_along_axis(
+                                w, jnp.full((S_r, 128), a * cs_r + k,
+                                            jnp.int32), axis=1)
+                                for a in range(4)]
+                            cxk, cyk, czk, kqk = ga
+                            # sphere_ts with per-row vector attributes:
+                            # identical value sequence (exact doubling,
+                            # same FMA order), so bit-identical ts
+                            cd = cxk * dx + cyk * dy + czk * dz
+                            co2 = ((cxk + cxk) * ox + (cyk + cyk) * oy
+                                   + (czk + czk) * oz)
+                            b = cd - od_c
+                            cq = oo_c - co2 + kqk
+                            sq = jnp.sqrt(b * b - cq)
+                            t0 = b - sq
+                            t1 = b + sq
+                            ts = jnp.where(t0 > MIN_T, t0, t1)
+                            ts = jnp.where((sq > 0.0) & (ts > MIN_T),
+                                           ts, MAX_T)
+                            items.append(
+                                (ts, chunk_f * f32(cs_r) + f32(k)))
+                        while len(items) > 1:
+                            merged = []
+                            for q in range(0, len(items) - 1, 2):
+                                (ta, ia), (tb, ib) = items[q], items[q + 1]
+                                take_b = tb < ta
+                                merged.append((jnp.minimum(ta, tb),
+                                               jnp.where(take_b, ib, ia)))
+                            if len(items) % 2:
+                                merged.append(items[-1])
+                            items = merged
+                        tm, im = items[0]
+                        better = tm < bt2
+                        return (jnp.where(better, tm, bt2),
+                                jnp.where(better, im, bi2), *cr2[2:])
+
+                    cr = jax.lax.fori_loop(0, trip, step, cr)
+                    if stats:
+                        # rowsweep's cost driver is STEPS (each = cs_r
+                        # row-divergent sphere tests), not chunk entries
+                        lst = list(cr)
+                        lst[-2] = lst[-2] + trip
+                        cr = tuple(lst)
+                return cr
+        elif chunk_list_ref is not None and culling:
             def full_sweep(carry0):
                 n_groups = list_groups if n_chunks >= 4 * list_groups else 1
                 gsz = -(-n_chunks // n_groups)
@@ -1384,6 +1542,43 @@ def mxu_sweep_amats(s_attrs, chunk_size: int, n_chunks: int):
     a = a.at[:, 3:6, cs:].set(-2.0 * c3)
     a = a.at[:, 6, cs:].set(kq.reshape(n_chunks, cs))
     return a
+
+
+def rowsweep_groups(n_chunks: int) -> int:
+    """Chunk-group count for the row-granular sweep: ~4 front-to-back
+    groups (so best-t tightened by earlier groups still prunes later
+    ones), more when 128 lanes can't hold a group's entered-mask."""
+    return max(-(-n_chunks // 128), min(4, n_chunks))
+
+
+def rowsweep_tab(s_attrs, chunk_size: int, n_chunks: int):
+    """Chunk-attribute table for the row-granular sweep (round 5):
+    (n_groups * 128, 128) f32 where row g*128 + i holds, for chunk
+    c = g*gsz + i of front-to-back group g, the four sphere_ts inputs
+    of its spheres packed along lanes — lane a*cs + k = attr a
+    (cx, cy, cz, kq) of sphere c*cs + k. A one-hot (S, 128) row-select
+    matmul against a group's 128-row slab fetches EVERY row's own
+    chunk attributes in one precision='highest' dot_general (exact:
+    each output lane receives exactly one table element), after which
+    constant-index lane gathers broadcast each sphere's attrs to all
+    128 ray lanes. Padding rows/lanes are zero and never selected
+    (ranks clamp to the group's live chunk count)."""
+    cx, cy, cz, kq = s_attrs[0], s_attrs[1], s_attrs[2], s_attrs[-1]
+    cs = chunk_size
+    if cs * 4 > 128:
+        raise ValueError(f"rowsweep needs chunk_size <= 32, got {cs}")
+    n_groups = rowsweep_groups(n_chunks)
+    gsz = -(-n_chunks // n_groups)
+    attrs = jnp.stack([cx, cy, cz, kq], 0).reshape(4, n_chunks, cs)
+    attrs = attrs.transpose(1, 0, 2).reshape(n_chunks, 4 * cs)
+    tab = jnp.zeros((n_groups, 128, 128), jnp.float32)
+    pad_c = n_groups * gsz - n_chunks
+    if pad_c:
+        attrs = jnp.concatenate(
+            [attrs, jnp.zeros((pad_c, 4 * cs), jnp.float32)])
+    tab = tab.at[:, :gsz, : 4 * cs].set(
+        attrs.reshape(n_groups, gsz, 4 * cs))
+    return tab.reshape(n_groups * 128, 128)
 
 
 @functools.partial(

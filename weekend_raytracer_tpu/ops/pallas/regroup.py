@@ -440,7 +440,22 @@ def _make_pack_kernel_v2(indirect: bool = False):
       this step's emit count write garbage rows that lie at or beyond
       the NEXT step's base, so the owning later step (or the final
       flush, or the never-read dense tail) overwrites them before any
-      consumer can see them — no cond needs to guard the writes.
+      consumer can see them — no cond needs to guard the writes. The
+      dense pool carries one spare tile past full capacity
+      (pool_shape_dense) so the CLAMPED overflow writes land in rows
+      that are never live: without it, a full pool (every record
+      alive) would clamp the first garbage DMA onto the final live
+      row and race its in-flight write (round-4 advisor finding).
+
+    Bit-identity caveat: the one-hot destination-row matmuls map a
+    -0.0 payload component to +0.0 (the masked sum adds +-0.0 terms
+    and -0.0 + 0.0 = +0.0 under round-to-nearest). No pool component
+    can legitimately be -0.0 where it matters — positions/directions
+    of live records feed arithmetic where +-0.0 behave identically
+    downstream, throughput/radiance are products of non-negative
+    terms, and home ids/alive are integers-in-f32 — but callers
+    comparing raw pool bytes (not images) against v1 should know the
+    sign of zero is not preserved.
 
     With indirect=True the kernel takes a second prefetched scalar
     table (the live-tile list): grid step t packs tile list[t], so
@@ -597,7 +612,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
              width, height, spp, tiles_x, block_w, spp_shift,
              textures=False, stats=False, tsub1=32, retr=False,
              lut_rows=0, subcull=0, listed=False, emit_r8=False,
-             mxu=False):
+             mxu=False, rowsweep=False):
     # frame_ref is [frame, row_offset] u32: home slots are shard-local,
     # but RNG seeds derive from GLOBAL pixel ids (see _make_k0).
     """Resume bounces [b_lo, b_hi) over the dense pool (1:1 rows).
@@ -635,6 +650,10 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
             mxu_ref, rest = rest[0], rest[1:]
         else:
             mxu_ref = None
+        if rowsweep:
+            rows_ref, rest = rest[0], rest[1:]
+        else:
+            rows_ref = None
         cpool_ref, pool_out_ref = rest[0], rest[1]
         rest = rest[2:]
         if emit_r8:
@@ -660,6 +679,7 @@ def _make_k1(n_spheres, chunk_size, n_chunks, super_factor, n_super,
                 n_spheres=n_spheres, stats=stats, tex_pool_ref=tex_pool_ref,
                 retr_lut_ref=retr_lut_ref, lut_rows=lut_rows,
                 subcull=subcull, chunk_list_ref=list_ref, mxu_ref=mxu_ref,
+                rowsweep_ref=rows_ref,
             )
 
             # The tile is processed in independent (tsub1, 128) sub-blocks,
@@ -866,6 +886,17 @@ def _make_level_kernel_v2(indirect: bool = False):
     all-dead dest tiles are never visited — their aliased base/out
     blocks keep the K0 contribution untouched, and their (possibly
     uninitialized, skip-dead-pack) inverse-map blocks are never read.
+    At n_live == 0 the 1-step grid runs with the guard false and the
+    guard-off branch copies base_in through to out_ref, keeping the
+    Pallas writeback of the (aliased) block idempotent — without the
+    copy an all-dead frame would clobber tile 0's K0 contribution
+    with uninitialized VMEM (round-4 advisor finding).
+
+    Bit-identity caveat: the one-hot window matmuls (wa/wb) map a
+    -0.0 radiance component to +0.0. Radiance is a product of
+    non-negative throughput and emitted light, so -0.0 cannot occur
+    on any real path; the caveat matters only to byte-level pool
+    comparisons, not to images.
     """
 
     def kernel(dcount_ref, *rest):
@@ -931,6 +962,20 @@ def _make_level_kernel_v2(indirect: bool = False):
             if out_ref.shape[1] == 4:  # r4 pad row: keep pools defined
                 out_ref[0, 3] = jnp.zeros((32, 128), f32)
 
+        if indirect:
+            # n_live == 0 runs a single guard-off step whose (aliased)
+            # out block would otherwise write back uninitialized VMEM
+            # over tile live_list[0]'s K0 contribution — copy the base
+            # through so the writeback is idempotent. (Non-indirect
+            # grids never hit this: their guard-off steps are clamped
+            # revisits of the previous block index, which Pallas skips.)
+            @pl.when(jnp.logical_not(guard))
+            def _():
+                for ch in range(3):
+                    out_ref[0, ch] = base_in[0, ch]
+                if out_ref.shape[1] == 4:
+                    out_ref[0, 3] = jnp.zeros((32, 128), jnp.float32)
+
     return kernel
 
 
@@ -950,7 +995,7 @@ def _profile_probe(x):
                      "k1_subcull", "full_height", "interpret",
                      "debug_counts", "budget_texels", "listed",
                      "mxu_sweep", "profile_stop", "dyn_grid",
-                     "combine_v2", "pack_v2", "skip_dead"),
+                     "combine_v2", "pack_v2", "skip_dead", "rowsweep"),
 )
 def _render_image_regrouped_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -982,6 +1027,7 @@ def _render_image_regrouped_jit(
     combine_v2: bool = False,
     pack_v2: bool = False,
     skip_dead: bool = False,
+    rowsweep: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -1075,6 +1121,14 @@ def _render_image_regrouped_jit(
                                     memory_space=pltpu.VMEM)
     pool_shape = jax.ShapeDtypeStruct((n_tiles, N_COMP, 32, 128),
                                       jnp.float32)
+    # Dense pools (pack output / K1 in-out) carry ONE spare tile beyond
+    # full capacity: pack_v2's unconditional clamped row DMAs park every
+    # overflow write there, so a clamped garbage DMA can never alias a
+    # live row written in the same grid step (the full-pool race found
+    # by the round-4 advisor). Live rows never reach the spare tile
+    # (live <= n_tiles*32 rows) and no consumer reads past the count.
+    pool_shape_dense = jax.ShapeDtypeStruct((n_tiles + 1, N_COMP, 32, 128),
+                                            jnp.float32)
     contrib_blk = lambda: pl.BlockSpec((1, 3, 32, 128),
                                        lambda i: (i, 0, 0, 0),
                                        memory_space=pltpu.VMEM)
@@ -1250,7 +1304,7 @@ def _render_image_regrouped_jit(
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 scratch_shapes=pack_scratch, **pack_args,
             ),
-            out_shape=(pool_shape, inv_shape,
+            out_shape=(pool_shape_dense, inv_shape,
                        jax.ShapeDtypeStruct((1,), jnp.int32)),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
@@ -1273,17 +1327,28 @@ def _render_image_regrouped_jit(
         # pipeline's HBM high-water (docs/PERF.md round 3). ---
         b_hi = cuts[pi + 1] if pi + 1 < len(cuts) else num_bounces
         if k1 is None:
+            # row-granular traversal (round 5): K1-only — post-cut rays
+            # are where the tile-union saturates; K0's screen tiles cull
+            # fine. Exclusive with the other sweep mechanisms.
+            rows1 = (rowsweep and n_chunks1 > 0 and not mxu1
+                     and k1_subcull == 0 and not listed1
+                     and k1_chunk_size * 4 <= 128)
             k1 = _make_k1(n_sph1, k1_chunk_size, n_chunks1, super_factor,
                           n_super1, width, height, spp, tiles_x, block_w,
                           spp_shift, textures=textures, tsub1=k1_tsub,
                           retr=retr1, lut_rows=lut_rows1,
                           subcull=k1_subcull, listed=listed1, emit_r8=True,
-                          mxu=mxu1)
+                          mxu=mxu1, rowsweep=rows1)
             pool_inputs1 = [tex_pool1] if textures else []
             if retr1:
                 pool_inputs1.append(retr_lut1)
             if mxu1:
                 pool_inputs1.append(mxu_sweep_amats(
+                    s_attrs1, k1_chunk_size, n_chunks1))
+            if rows1:
+                from .megakernel import rowsweep_tab
+
+                pool_inputs1.append(rowsweep_tab(
                     s_attrs1, k1_chunk_size, n_chunks1))
             pool_specs1 = [pl.BlockSpec(memory_space=pltpu.VMEM)
                            for _ in pool_inputs1]
@@ -1300,7 +1365,7 @@ def _render_image_regrouped_jit(
                 out_specs=(pool_blk_c(), r8_blk_c()),
                 scratch_shapes=lscr(n_chunks1) if listed1 else [],
             ),
-            out_shape=(pool_shape, r8_shape),
+            out_shape=(pool_shape_dense, r8_shape),
             input_output_aliases={len(k1_ops) - 1: 0},
             interpret=interpret,
         )(*k1_ops)
@@ -1418,7 +1483,8 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
                            dyn_grid: bool | None = None,
                            combine_v2: bool | None = None,
                            pack_v2: bool | None = None,
-                           skip_dead: bool | None = None, **kwargs):
+                           skip_dead: bool | None = None,
+                           rowsweep: bool | None = None, **kwargs):
     """Public entry: resolves the scene-size/env defaults eagerly so the
     jit cache keys on concrete bools (an env flip mid-process would
     otherwise be silently ignored via the cached None trace)."""
@@ -1436,22 +1502,33 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
         dyn_grid = os.environ.get("WRT_DYN_GRID", "1") == "1"
     if combine_v2 is None:
         # windowed-matmul combine level: bit-identical to v1
-        # (tests/test_regroup.py), default off until the queued chip
-        # session prices it (WRT_COMBINE_V2=1 to measure)
-        combine_v2 = os.environ.get("WRT_COMBINE_V2", "1") == "1"
+        # (tests/test_regroup.py). The round-4b chip A/B measured it
+        # LOSING ~1.3% on RTiOW (base 795.1 vs cv2 784.9 Mrays/s,
+        # benchmarks/chip_logs/r4b_verdict.json), so the default is the
+        # v1 kernel; the knob stays because skip_dead's indirection is
+        # implemented on the v2 kernels (WRT_COMBINE_V2=1 to force).
+        combine_v2 = os.environ.get("WRT_COMBINE_V2", "0") == "1"
     if pack_v2 is None:
-        # matmul-merge pack: bit-identical to v1 (tests/test_regroup.py),
-        # default off until the queued chip session prices it
-        # (WRT_PACK_V2=1 to measure)
-        pack_v2 = os.environ.get("WRT_PACK_V2", "1") == "1"
+        # matmul-merge pack: bit-identical to v1 (tests/test_regroup.py).
+        # The round-4b chip A/B measured parity within noise (base 795.1
+        # vs pv2 795.0 Mrays/s, benchmarks/chip_logs/r4b_verdict.json):
+        # no win, so the default stays the scalar-merge v1; the knob
+        # stays for skip_dead (WRT_PACK_V2=1 to force).
+        pack_v2 = os.environ.get("WRT_PACK_V2", "0") == "1"
     if skip_dead is None:
         # live-tile indirection for pack #1 + the final combine level:
-        # bit-identical, default off until the queued chip session
-        # prices it (WRT_SKIP_DEAD=1 to measure)
+        # bit-identical, default off until a chip session prices it
+        # (WRT_SKIP_DEAD=1 to measure)
         skip_dead = os.environ.get("WRT_SKIP_DEAD", "0") == "1"
     if skip_dead:
         # the indirection is implemented on the v2 kernels only
         combine_v2 = pack_v2 = True
+    if rowsweep is None:
+        # row-granular K1 traversal (round 5): bit-identical
+        # (tests/test_regroup.py), default off until a chip session
+        # prices it (WRT_ROWSWEEP=1 to measure)
+        rowsweep = os.environ.get("WRT_ROWSWEEP", "0") == "1"
+    kwargs["rowsweep"] = bool(rowsweep)
     kwargs["dyn_grid"] = bool(dyn_grid)
     kwargs["combine_v2"] = bool(combine_v2)
     kwargs["pack_v2"] = bool(pack_v2)
