@@ -78,6 +78,29 @@ WRT_ROWSWEEP=1 WRT_K1_CHUNK=8 WRT_COMBINE_V2=0 WRT_PACK_V2=0 WRT_SPP=32 \
   2>"$L/r5b_rtiow_c8t32.err" | tee "$L/r5b_rtiow_c8t32.log"
 
 P
+echo "=== 8b. RTiOW rowsweep K1+K0 (k1c16 tsub8) ==="
+WRT_ROWSWEEP=1 WRT_ROWSWEEP_K0=1 WRT_K1_TSUB=8 WRT_COMBINE_V2=0 WRT_PACK_V2=0 WRT_SPP=32 \
+  timeout 1800 python benchmarks/sweep_wavefront.py rtiow nomk r2,4,6 \
+  2>"$L/r5b_rtiow_c16t8k0.err" | tee "$L/r5b_rtiow_c16t8k0.log"
+
+P
+echo "=== 8c. K1 steps/segment stats (rowsweep verdict decomposition) ==="
+WRT_ROWSWEEP=0 timeout 1200 python benchmarks/profile_regroup.py rtiow stats \
+  2>"$L/r5b_stats_rtiow_base.err" | tee "$L/r5b_stats_rtiow_base.jsonl"
+P
+WRT_ROWSWEEP=1 WRT_K1_TSUB=8 timeout 1200 python benchmarks/profile_regroup.py rtiow stats \
+  2>"$L/r5b_stats_rtiow_rs.err" | tee "$L/r5b_stats_rtiow_rs.jsonl"
+P
+WRT_ROWSWEEP=1 WRT_K1_CHUNK=8 WRT_K1_TSUB=8 timeout 1200 python benchmarks/profile_regroup.py rtiow stats \
+  2>"$L/r5b_stats_rtiow_rs8.err" | tee "$L/r5b_stats_rtiow_rs8.jsonl"
+P
+WRT_ROWSWEEP=0 timeout 1800 python benchmarks/profile_regroup.py random10k stats \
+  2>"$L/r5b_stats_10k_base.err" | tee "$L/r5b_stats_10k_base.jsonl"
+P
+WRT_ROWSWEEP=1 WRT_K1_TSUB=8 timeout 1800 python benchmarks/profile_regroup.py random10k stats \
+  2>"$L/r5b_stats_10k_rs.err" | tee "$L/r5b_stats_10k_rs.jsonl"
+
+P
 echo "=== 9. summary ==="
 python - <<'EOF' | tee "$L/r5b_verdict.json"
 import json, pathlib
@@ -96,7 +119,8 @@ def mrays(path):
 
 out = {k: mrays(f"r5b_{k}.log") for k in (
     "rtiow_base", "rtiow_c16t8", "rtiow_c8t8", "rtiow_c16t32",
-    "rtiow_c8t32", "10k_base", "10k_c32t8", "10k_c16t8")}
+    "rtiow_c8t32", "rtiow_c16t8k0", "10k_base", "10k_c32t8",
+    "10k_c16t8")}
 print(json.dumps(out))
 EOF
 

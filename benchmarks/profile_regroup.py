@@ -202,9 +202,35 @@ def stats_main() -> int:
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(count, pool)
 
-    k1s = rg._make_k1(n_spheres, chunk_size, n_chunks, super_factor,
-                      n_super, w, h, spp, tiles_x, block_w, spp_shift,
-                      stats=True, retr=retr, lut_rows=lut_rows)
+    # K1 cull knobs (mirroring the production env resolution) so the
+    # row-granular traversal's measured steps/segment are reportable:
+    # under WRT_ROWSWEEP=1 the "chunks" counter holds SWEEP STEPS (each
+    # = k1c row-divergent sphere tests), not chunk entries.
+    k1c = int(os.environ.get("WRT_K1_CHUNK", "0")) or chunk_size
+    tsub = int(os.environ.get("WRT_K1_TSUB", "32"))
+    rowsweep = os.environ.get("WRT_ROWSWEEP", "0") == "1"
+    if k1c != chunk_size:
+        (s_attrs1, chunk_arrays1, super_arrays1, n_sph1, n_chunks1,
+         n_super1, _tp1, retr_lut1) = rg.prepare_scene_arrays(
+            scene, basis, k1c, super_factor)
+    else:
+        (s_attrs1, chunk_arrays1, super_arrays1, n_sph1, n_chunks1,
+         n_super1, retr_lut1) = (s_attrs, chunk_arrays, super_arrays,
+                                 n_spheres, n_chunks, n_super, retr_lut)
+    retr1 = retr_lut1 is not None
+    lut_rows1 = -(-n_sph1 // 128)
+    lut_inputs1 = [retr_lut1] if retr1 else []
+    lut_specs1 = ([pl.BlockSpec(memory_space=pltpu.VMEM)] if retr1 else [])
+    if rowsweep:
+        from weekend_raytracer_tpu.ops.pallas.megakernel import rowsweep_tab
+
+        lut_inputs1 = lut_inputs1 + [rowsweep_tab(s_attrs1, k1c, n_chunks1)]
+        lut_specs1 = lut_specs1 + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+
+    k1s = rg._make_k1(n_sph1, k1c, n_chunks1, super_factor,
+                      n_super1, w, h, spp, tiles_x, block_w, spp_shift,
+                      stats=True, retr=retr1, lut_rows=lut_rows1,
+                      tsub1=tsub, rowsweep=rowsweep)
     meta1 = jnp.asarray([cut, bounces], jnp.int32)
     stats_blk = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -215,11 +241,11 @@ def stats_main() -> int:
         return pl.pallas_call(
             k1s, grid=(n_tiles,),
             in_specs=[smem(), smem(), smem(), smem()] + scene_specs
-            + lut_specs + [pool_blk()],
+            + lut_specs1 + [pool_blk()],
             out_specs=(pool_blk(), stats_blk),
             out_shape=(pool_shape, stats_shape),
-        )(count, meta1, meta0, sky_vec, *s_attrs, *chunk_arrays,
-          *super_arrays, *lut_inputs, cpool)
+        )(count, meta1, meta0, sky_vec, *s_attrs1, *chunk_arrays1,
+          *super_arrays1, *lut_inputs1, cpool)
 
     count0 = jnp.asarray([n_rows], jnp.int32)
     pool, _ = run_k0()
@@ -234,14 +260,16 @@ def stats_main() -> int:
     print(json.dumps({
         "phase": "k1_stats", "cut": cut, "live_rows": int(count[0]),
         "of": n_rows, "tiles": n_live_tiles,
+        "rowsweep": rowsweep, "k1_chunk": k1c, "k1_tsub": tsub,
         "iters_mean": round(float(iters.mean()), 2),
         "iters_max": float(iters.max()),
         "live_frac_mean": round(float(live_frac.mean()), 3),
+        # under rowsweep, "chunks" counts SWEEP STEPS (see _make_bounce)
         "chunk_entry_frac": round(
-            float((chunks / (iters * n_chunks + 1e-9)).mean()), 3),
+            float((chunks / (iters * n_chunks1 + 1e-9)).mean()), 3),
         "supers_per_tile": round(float(supers.mean()), 1),
         "tests_per_segment": round(
-            float((chunks * chunk_size * lanes).sum()
+            float((chunks * k1c * lanes).sum()
                   / max(live.sum(), 1)), 1),
     }), flush=True)
     return 0

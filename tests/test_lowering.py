@@ -130,7 +130,8 @@ def f(accum, frame, clear, scene, sky):
     return render_image_regrouped(
         accum, frame, clear, scene, sky, basis, width=W, height=H,
         spp=8, num_bounces=8, cuts=(2, 4), interpret=False,
-        dyn_grid=True, rowsweep=True, k1_tsub=8, k1_chunk_size=8)
+        dyn_grid=True, rowsweep=True, rowsweep_k0=True, k1_tsub=8,
+        k1_chunk_size=8)
 
 
 export_tpu(f, accum, jnp.uint32(0), jnp.asarray(True), scene, sky)

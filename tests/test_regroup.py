@@ -403,7 +403,8 @@ def test_rowsweep_bit_identical(rtiow):
                                         rowsweep=False, debug_counts=True,
                                         **kw)
     for extra in (dict(), dict(k1_tsub=8), dict(k1_chunk_size=8),
-                  dict(k1_chunk_size=8, k1_tsub=8)):
+                  dict(k1_chunk_size=8, k1_tsub=8),
+                  dict(rowsweep_k0=True)):
         rs, c_rs = render_image_regrouped(*_args(scene, sky, basis),
                                           rowsweep=True, debug_counts=True,
                                           **kw, **extra)

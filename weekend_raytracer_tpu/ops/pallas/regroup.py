@@ -131,7 +131,7 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
              super_factor, n_super, tiles_x, block_w, spp_shift,
              textures=False, frustum=False, full_height=None,
              retr=False, lut_rows=0, export_key=False, listed=False,
-             mxu=False):
+             mxu=False, rowsweep=False):
     """Camera + bounces [0, b1); dumps the pool (per-lane homes) and the
     contribution image (final radiance for terminated paths, else 0).
 
@@ -169,6 +169,12 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             mxu_ref, rest = rest[0], rest[1:]
         else:
             mxu_ref = None
+        if rowsweep:
+            # bounce 0 keeps the frustum-listed sweep; bounces >= 1 go
+            # row-granular (the cond in the culling dispatch below)
+            rows_ref, rest = rest[0], rest[1:]
+        else:
+            rows_ref = None
         pool_ref, contrib_ref = rest[0], rest[1]
         list_ref = rest[-1] if listed else None
         t = pl.program_id(0)
@@ -200,6 +206,7 @@ def _make_k0(width, height, spp, b1, n_spheres, chunk_size, n_chunks,
             frustum_row=t % 8, retr_lut_ref=retr_lut_ref,
             lut_rows=lut_rows, export_hit=bool(export_key),
             chunk_list_ref=list_ref, mxu_ref=mxu_ref,
+            rowsweep_ref=rows_ref,
         )
         state, ox, oy, oz, dx, dy, dz = _camera_ray(
             cam_ref, x.astype(f32), y_g.astype(f32),
@@ -995,7 +1002,8 @@ def _profile_probe(x):
                      "k1_subcull", "full_height", "interpret",
                      "debug_counts", "budget_texels", "listed",
                      "mxu_sweep", "profile_stop", "dyn_grid",
-                     "combine_v2", "pack_v2", "skip_dead", "rowsweep"),
+                     "combine_v2", "pack_v2", "skip_dead", "rowsweep",
+                     "rowsweep_k0"),
 )
 def _render_image_regrouped_jit(
     accum: jnp.ndarray,  # [H*W, 3] f32
@@ -1028,6 +1036,7 @@ def _render_image_regrouped_jit(
     pack_v2: bool = False,
     skip_dead: bool = False,
     rowsweep: bool = False,
+    rowsweep_k0: bool = False,
 ) -> jnp.ndarray:
     """One progressive frame via the lane-regrouped wavefront; drop-in for
     render_image / render_image_pallas / render_image_wavefront.
@@ -1167,25 +1176,36 @@ def _render_image_regrouped_jit(
     if mxu0:
         mxu_inputs0 = [mxu_sweep_amats(s_attrs, chunk_size, n_chunks)]
         mxu_specs0 = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    # row-granular sweeps for K0's bounces >= 1 (bounce 0 stays on the
+    # frustum lists); a separate knob from the K1 rowsweep because K0's
+    # tiles are screen-coherent and may not pay the mask cost
+    rows0 = (rowsweep_k0 and n_chunks > 0 and not mxu0 and not listed0
+             and chunk_size * 4 <= 128)
+    rs_inputs0, rs_specs0 = [], []
+    if rows0:
+        from .megakernel import rowsweep_tab
+
+        rs_inputs0 = [rowsweep_tab(s_attrs, chunk_size, n_chunks)]
+        rs_specs0 = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     lscr = lambda n: [pltpu.SMEM((max(n, 1),), jnp.int32)]
     k0 = _make_k0(width, height, spp, cuts[0], n_spheres, chunk_size,
                   n_chunks, super_factor, n_super, tiles_x, block_w,
                   spp_shift, textures=textures, frustum=frustum,
                   full_height=full_height, retr=retr, lut_rows=lut_rows,
-                  listed=listed0, mxu=mxu0)
+                  listed=listed0, mxu=mxu0, rowsweep=rows0)
     meta0 = jnp.stack([frame.astype(jnp.uint32),
                        jnp.asarray(row_offset).astype(jnp.uint32)])
     pool, contrib = pl.pallas_call(
         k0,
         grid=(n_tiles,),
         in_specs=[smem(), smem(), smem()] + scene_specs + pool_specs
-        + fr_specs + mxu_specs0,
+        + fr_specs + mxu_specs0 + rs_specs0,
         out_specs=(pool_blk(), contrib_blk()),
         out_shape=(pool_shape, contrib_shape),
         scratch_shapes=lscr(n_chunks) if listed0 else [],
         interpret=interpret,
     )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
-      *pool_inputs, *fr_inputs, *mxu_inputs0)
+      *pool_inputs, *fr_inputs, *mxu_inputs0, *rs_inputs0)
 
     if profile_stop == "k0":
         return _profile_probe(pool) + _profile_probe(contrib)
@@ -1484,7 +1504,8 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
                            combine_v2: bool | None = None,
                            pack_v2: bool | None = None,
                            skip_dead: bool | None = None,
-                           rowsweep: bool | None = None, **kwargs):
+                           rowsweep: bool | None = None,
+                           rowsweep_k0: bool | None = None, **kwargs):
     """Public entry: resolves the scene-size/env defaults eagerly so the
     jit cache keys on concrete bools (an env flip mid-process would
     otherwise be silently ignored via the cached None trace)."""
@@ -1528,7 +1549,13 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
         # (tests/test_regroup.py), default off until a chip session
         # prices it (WRT_ROWSWEEP=1 to measure)
         rowsweep = os.environ.get("WRT_ROWSWEEP", "0") == "1"
+    if rowsweep_k0 is None:
+        # same mechanism on K0's bounces >= 1 (bounce 0 stays on the
+        # frustum lists); separate knob — K0 tiles are screen-coherent
+        # and may not pay the per-row mask cost (WRT_ROWSWEEP_K0=1)
+        rowsweep_k0 = os.environ.get("WRT_ROWSWEEP_K0", "0") == "1"
     kwargs["rowsweep"] = bool(rowsweep)
+    kwargs["rowsweep_k0"] = bool(rowsweep_k0)
     kwargs["dyn_grid"] = bool(dyn_grid)
     kwargs["combine_v2"] = bool(combine_v2)
     kwargs["pack_v2"] = bool(pack_v2)
