@@ -128,6 +128,7 @@ def stats_main() -> int:
 
     scene, desc, basis, sky, w, h, spp, bounces, cuts = _setup()
     cut = cuts[0]
+    interp = rg._is_cpu()  # CPU smoke/offline-replay mode
     chunk_size = default_chunk_size(desc.num_spheres)
     super_factor = 16
     spp_shift = spp.bit_length() - 1
@@ -172,6 +173,7 @@ def stats_main() -> int:
             in_specs=[smem(), smem(), smem()] + scene_specs + lut_specs,
             out_specs=(pool_blk(), contrib_blk()),
             out_shape=(pool_shape, contrib_shape),
+            interpret=interp,
         )(meta0, cam_vec, sky_vec, *s_attrs, *chunk_arrays, *super_arrays,
           *lut_inputs)
 
@@ -200,6 +202,7 @@ def stats_main() -> int:
                 pltpu.SemaphoreType.DMA((33,)),
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interp,
         )(count, pool)
 
     # K1 cull knobs (mirroring the production env resolution) so the
@@ -244,6 +247,7 @@ def stats_main() -> int:
             + lut_specs1 + [pool_blk()],
             out_specs=(pool_blk(), stats_blk),
             out_shape=(pool_shape, stats_shape),
+            interpret=interp,
         )(count, meta1, meta0, sky_vec, *s_attrs1, *chunk_arrays1,
           *super_arrays1, *lut_inputs1, cpool)
 
