@@ -160,10 +160,10 @@ fi
 
 P
 echo "=== 6. ladder, all configs, FINAL defaults (harness r5, env unpinned) ==="
-if ! grep -q rays_per_sec $L/r5a_ladder.jsonl 2>/dev/null; then
+if ! grep -q 5-random10k $L/r5a_ladder.jsonl 2>/dev/null; then
 timeout 5400 python benchmarks/ladder.py 2>"$L/r5a_ladder.err" | tee "$L/r5a_ladder.jsonl"
 fi
-if [ -s "$L/r5a_ladder.jsonl" ] && grep -q rays_per_sec "$L/r5a_ladder.jsonl"; then
+if grep -q 5-random10k "$L/r5a_ladder.jsonl" 2>/dev/null; then
   cp "$L/r5a_ladder.jsonl" benchmarks/results_tpu_v5e.jsonl
   git add benchmarks/results_tpu_v5e.jsonl "$L"
   git commit -m "Ladder re-measured on the r5 harness under the session-decided defaults
