@@ -411,3 +411,38 @@ def test_rowsweep_bit_identical(rtiow):
         assert np.array_equal(np.asarray(ref), np.asarray(rs)), extra
         assert ([int(c[0]) for c in c_ref]
                 == [int(c[0]) for c in c_rs]), extra
+
+
+def test_pack_v2_full_pool_enclosed_scene():
+    """An enclosed scene (camera inside a hollow lambertian sphere, no
+    sky escape) keeps EVERY ray alive through every cut, driving the
+    dense pool to full capacity — the exact case where pack_v2's
+    clamped overflow DMAs used to alias the final live row (round-4
+    advisor). With the spare dense tile they land in never-live rows:
+    v1 and v2 must agree bit-for-bit and the counts must stay full."""
+    import jax.numpy as jnp
+
+    from weekend_raytracer_tpu import Material, SceneDesc, Sphere
+    from weekend_raytracer_tpu.models.camera import Camera
+
+    desc = SceneDesc(
+        materials=[Material.lambertian((0.8, 0.7, 0.6))],
+        spheres=[Sphere((0.0, 0.0, 0.0), -50.0, 0),  # hollow enclosure
+                 Sphere((0.0, -2.0, 4.0), 1.0, 0)],
+    )
+    scene = desc.build()
+    cam = Camera.look_at((0.0, 0.0, -8.0), (0.0, 0.0, 1.0),
+                         vfov_degrees=60.0)
+    basis = CameraBasis.create(cam, (W, H))
+    sky = to_sky_state(SkyParams())
+    kw = dict(width=W, height=H, spp=4, num_bounces=6, cuts=(2, 4))
+    v1, c1 = render_image_regrouped(*_args(scene, sky, basis),
+                                    pack_v2=False, debug_counts=True,
+                                    **kw)
+    v2, c2 = render_image_regrouped(*_args(scene, sky, basis),
+                                    pack_v2=True, combine_v2=True,
+                                    debug_counts=True, **kw)
+    counts = [int(c[0]) for c in c1]
+    assert counts[0] == counts[1] == counts[2]  # nothing ever dies
+    assert counts == [int(c[0]) for c in c2]
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
