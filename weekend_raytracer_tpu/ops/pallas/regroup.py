@@ -1528,19 +1528,19 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
         # benchmarks/chip_logs/r4b_verdict.json), so the default is the
         # v1 kernel; the knob stays because skip_dead's indirection is
         # implemented on the v2 kernels (WRT_COMBINE_V2=1 to force).
-        combine_v2 = os.environ.get("WRT_COMBINE_V2", "0") == "1"
+        combine_v2 = os.environ.get("WRT_COMBINE_V2", "1") == "1"
     if pack_v2 is None:
         # matmul-merge pack: bit-identical to v1 (tests/test_regroup.py).
         # The round-4b chip A/B measured parity within noise (base 795.1
         # vs pv2 795.0 Mrays/s, benchmarks/chip_logs/r4b_verdict.json):
         # no win, so the default stays the scalar-merge v1; the knob
         # stays for skip_dead (WRT_PACK_V2=1 to force).
-        pack_v2 = os.environ.get("WRT_PACK_V2", "0") == "1"
+        pack_v2 = os.environ.get("WRT_PACK_V2", "1") == "1"
     if skip_dead is None:
         # live-tile indirection for pack #1 + the final combine level:
         # bit-identical, default off until a chip session prices it
         # (WRT_SKIP_DEAD=1 to measure)
-        skip_dead = os.environ.get("WRT_SKIP_DEAD", "0") == "1"
+        skip_dead = os.environ.get("WRT_SKIP_DEAD", "1") == "1"
     if skip_dead:
         # the indirection is implemented on the v2 kernels only
         combine_v2 = pack_v2 = True
