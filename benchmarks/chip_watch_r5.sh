@@ -1,9 +1,10 @@
 #!/bin/bash
 # Watch for the axon tunnel and fire the queued round-5 sessions in
-# order (r5a: ladder/skip_dead/phase-profiles, then r5b: rowsweep knob
-# sweep). Same pattern as chip_watch.sh / chip_watch2.sh; a session
-# that aborts mid-run (tunnel flap) is retried whole — every leg is
-# idempotent and logs overwrite.
+# order (r5a: ladder/skip_dead/phase-profiles, r5b: rowsweep pricing +
+# default decision, r5c: final capture under the shipped defaults).
+# Same pattern as chip_watch.sh / chip_watch2.sh; a session that aborts
+# mid-run (tunnel flap) is retried whole — every leg is idempotent and
+# logs overwrite.
 cd /root/repo
 mkdir -p benchmarks/chip_logs
 W=benchmarks/chip_logs/watch_r5.log
@@ -25,6 +26,12 @@ assert float(jnp.ones((8,128)).sum()) == 1024.0" 2>/dev/null; then
       rc=$?
       echo "r5b exited rc=$rc $(date -u +%FT%TZ)" >> "$W"
       [ $rc -eq 0 ] && touch benchmarks/chip_logs/r5b_done
+    elif [ ! -f benchmarks/chip_logs/r5c_done ]; then
+      echo "firing session r5c $(date -u +%FT%TZ)" >> "$W"
+      bash benchmarks/chip_session_r5c.sh >> benchmarks/chip_logs/session_r5c.log 2>&1
+      rc=$?
+      echo "r5c exited rc=$rc $(date -u +%FT%TZ)" >> "$W"
+      [ $rc -eq 0 ] && touch benchmarks/chip_logs/r5c_done
     else
       echo "watch_r5 done $(date -u +%FT%TZ)" >> "$W"
       exit 0

@@ -1523,23 +1523,24 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
         dyn_grid = os.environ.get("WRT_DYN_GRID", "1") == "1"
     if combine_v2 is None:
         # windowed-matmul combine level: bit-identical to v1
-        # (tests/test_regroup.py). The round-4b chip A/B measured it
-        # LOSING ~1.3% on RTiOW (base 795.1 vs cv2 784.9 Mrays/s,
-        # benchmarks/chip_logs/r4b_verdict.json), so the default is the
-        # v1 kernel; the knob stays because skip_dead's indirection is
-        # implemented on the v2 kernels (WRT_COMBINE_V2=1 to force).
+        # (tests/test_regroup.py). Default ON per the round-5a pinned-env
+        # chip A/B (v1 646.5 vs v2pair 793.6 Mrays/s RTiOW 1080p,
+        # benchmarks/chip_logs/r5a_verdict.json — the r4b "parity" rerun
+        # was corrupted by an unpinned base leg). WRT_COMBINE_V2=0
+        # reverts to the guarded-row-DMA v1 kernel.
         combine_v2 = os.environ.get("WRT_COMBINE_V2", "1") == "1"
     if pack_v2 is None:
         # matmul-merge pack: bit-identical to v1 (tests/test_regroup.py).
-        # The round-4b chip A/B measured parity within noise (base 795.1
-        # vs pv2 795.0 Mrays/s, benchmarks/chip_logs/r4b_verdict.json):
-        # no win, so the default stays the scalar-merge v1; the knob
-        # stays for skip_dead (WRT_PACK_V2=1 to force).
+        # Default ON per the same round-5a pinned A/B (priced as the
+        # v2pair with combine_v2; r5a_verdict.json). WRT_PACK_V2=0
+        # reverts to the scalar-merge v1 kernel.
         pack_v2 = os.environ.get("WRT_PACK_V2", "1") == "1"
     if skip_dead is None:
         # live-tile indirection for pack #1 + the final combine level:
-        # bit-identical, default off until a chip session prices it
-        # (WRT_SKIP_DEAD=1 to measure)
+        # bit-identical; default ON per the round-5a pinned chip A/B
+        # (RTiOW 793.6 -> 819.2 Mrays/s, random10k 180.5 -> 191.7,
+        # benchmarks/chip_logs/r5a_verdict.json). WRT_SKIP_DEAD=0
+        # reverts to dense full-tile pack/combine grids.
         skip_dead = os.environ.get("WRT_SKIP_DEAD", "1") == "1"
     if skip_dead:
         # the indirection is implemented on the v2 kernels only
@@ -1556,6 +1557,14 @@ def render_image_regrouped(*args, mxu_sweep: bool | None = None,
         rowsweep_k0 = os.environ.get("WRT_ROWSWEEP_K0", "0") == "1"
     kwargs["rowsweep"] = bool(rowsweep)
     kwargs["rowsweep_k0"] = bool(rowsweep_k0)
+    if "k1_tsub" not in kwargs:
+        # lockstep width of the K1 traversal rows (32 = whole tile;
+        # 8 = per-sublane-row, only meaningful under rowsweep). The
+        # production default follows the chip-sweep verdict
+        # (benchmarks/chip_logs/r5b_verdict.json); WRT_K1_TSUB pins it.
+        kwargs["k1_tsub"] = int(os.environ.get("WRT_K1_TSUB", "32"))
+    if "k1_chunk_size" not in kwargs and os.environ.get("WRT_K1_CHUNK"):
+        kwargs["k1_chunk_size"] = int(os.environ["WRT_K1_CHUNK"])
     kwargs["dyn_grid"] = bool(dyn_grid)
     kwargs["combine_v2"] = bool(combine_v2)
     kwargs["pack_v2"] = bool(pack_v2)
