@@ -126,7 +126,7 @@ def mrays(path):
 out = {k: mrays(f"r5b_{k}.log") for k in (
     "rtiow_base", "rtiow_c16t8", "rtiow_c8t8", "rtiow_c16t32",
     "rtiow_c8t32", "rtiow_c16t8v2", "rtiow_c16t8k0", "10k_base",
-    "10k_c32t8", "10k_c16t8",
+    "10k_c32t32", "10k_rs_def",
     "rtiow_ctrl", "rtiow_cand", "10k_ctrl", "10k_cand")}
 tsub_p = pathlib.Path("benchmarks/chip_logs/r5b_tsub")
 tsub = int(tsub_p.read_text()) if tsub_p.exists() else None
@@ -193,19 +193,40 @@ WRT_ROWSWEEP=0 WRT_COMBINE_V2=0 WRT_PACK_V2=0 WRT_SKIP_DEAD=0 WRT_SPP=8 \
 fi
 
 P
-echo "=== 12. random10k rowsweep k1c32 tsub8 ==="
-if ! grep -q mrays $L/r5b_10k_c32t8.log 2>/dev/null; then
-WRT_ROWSWEEP=1 WRT_K1_TSUB=8 WRT_COMBINE_V2=0 WRT_PACK_V2=0 WRT_SKIP_DEAD=0 WRT_SPP=8 \
+echo "=== 12. random10k rowsweep k1c32 tsub32 (VERDICT item 5 structural attempt) ==="
+# RTiOW priced tsub32 as the cheaper lockstep width (396.1 vs 190.0);
+# the 10k sims put the per-row union at ~5.7x fewer tests vs the tile
+# union (vs only ~3x on RTiOW), so the 10k verdict is NOT implied by
+# the RTiOW loss — measure it. Pinned-v1 mechanism leg; compare
+# against r5a_10k_v1.log (180.5).
+if ! grep -q mrays $L/r5b_10k_c32t32.log 2>/dev/null; then
+WRT_ROWSWEEP=1 WRT_COMBINE_V2=0 WRT_PACK_V2=0 WRT_SKIP_DEAD=0 WRT_SPP=8 \
   timeout 1800 python benchmarks/sweep_wavefront.py 10k nomk r2,4,6 \
-  2>"$L/r5b_10k_c32t8.err" | tee "$L/r5b_10k_c32t8.log"
+  2>"$L/r5b_10k_c32t32.err" | tee "$L/r5b_10k_c32t32.log"
 fi
 
 P
-echo "=== 13. random10k rowsweep k1c16 tsub8 ==="
-if ! grep -q mrays $L/r5b_10k_c16t8.log 2>/dev/null; then
-WRT_ROWSWEEP=1 WRT_K1_CHUNK=16 WRT_K1_TSUB=8 WRT_COMBINE_V2=0 WRT_PACK_V2=0 WRT_SKIP_DEAD=0 WRT_SPP=8 \
+echo "=== 13. random10k rowsweep composed with shipped defaults (only if 12 won) ==="
+python - <<'EOF' > "$L/r5b_10k_go" 2>/dev/null
+import json, pathlib
+def mrays(p):
+    best = None
+    f = pathlib.Path("benchmarks/chip_logs/" + p)
+    if f.exists():
+        for line in f.read_text().splitlines():
+            try:
+                best = max(best or 0.0, float(json.loads(line)["mrays"]))
+            except Exception:
+                pass
+    return best
+rs = mrays("r5b_10k_c32t32.log")
+base = mrays("r5a_10k_v1.log")
+print("1" if (rs and base and rs > 1.01 * base) else "0")
+EOF
+if [ "$(cat $L/r5b_10k_go 2>/dev/null)" = "1" ] && ! grep -q mrays $L/r5b_10k_rs_def.log 2>/dev/null; then
+WRT_ROWSWEEP=1 WRT_SPP=8 \
   timeout 1800 python benchmarks/sweep_wavefront.py 10k nomk r2,4,6 \
-  2>"$L/r5b_10k_c16t8.err" | tee "$L/r5b_10k_c16t8.log"
+  2>"$L/r5b_10k_rs_def.err" | tee "$L/r5b_10k_rs_def.log"
 fi
 
 P
@@ -279,7 +300,7 @@ def mrays(path):
 out = {k: mrays(f"r5b_{k}.log") for k in (
     "rtiow_base", "rtiow_c16t8", "rtiow_c8t8", "rtiow_c16t32",
     "rtiow_c8t32", "rtiow_c16t8v2", "rtiow_c16t8k0", "10k_base",
-    "10k_c32t8", "10k_c16t8",
+    "10k_c32t32", "10k_rs_def",
     "rtiow_ctrl", "rtiow_cand", "10k_ctrl", "10k_cand")}
 tsub_p = pathlib.Path("benchmarks/chip_logs/r5b_tsub")
 out["cand_tsub"] = int(tsub_p.read_text()) if tsub_p.exists() else None
