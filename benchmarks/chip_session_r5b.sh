@@ -253,32 +253,9 @@ WRT_ROWSWEEP=1 WRT_ROWSWEEP_K0=1 WRT_K1_TSUB=8 WRT_COMBINE_V2=0 WRT_PACK_V2=0 WR
   2>"$L/r5b_rtiow_c16t8k0.err" | tee "$L/r5b_rtiow_c16t8k0.log"
 fi
 
-P
-echo "=== 17. K1 steps/segment stats (rowsweep verdict decomposition) ==="
-if ! grep -q k1_stats $L/r5b_stats_rtiow_base.jsonl 2>/dev/null; then
-WRT_ROWSWEEP=0 timeout 1200 python benchmarks/profile_regroup.py rtiow stats \
-  2>"$L/r5b_stats_rtiow_base.err" | tee "$L/r5b_stats_rtiow_base.jsonl"
-fi
-P
-if ! grep -q k1_stats $L/r5b_stats_rtiow_rs.jsonl 2>/dev/null; then
-WRT_ROWSWEEP=1 WRT_K1_TSUB=8 timeout 1200 python benchmarks/profile_regroup.py rtiow stats \
-  2>"$L/r5b_stats_rtiow_rs.err" | tee "$L/r5b_stats_rtiow_rs.jsonl"
-fi
-P
-if ! grep -q k1_stats $L/r5b_stats_rtiow_rs8.jsonl 2>/dev/null; then
-WRT_ROWSWEEP=1 WRT_K1_CHUNK=8 WRT_K1_TSUB=8 timeout 1200 python benchmarks/profile_regroup.py rtiow stats \
-  2>"$L/r5b_stats_rtiow_rs8.err" | tee "$L/r5b_stats_rtiow_rs8.jsonl"
-fi
-P
-if ! grep -q k1_stats $L/r5b_stats_10k_base.jsonl 2>/dev/null; then
-WRT_ROWSWEEP=0 timeout 1800 python benchmarks/profile_regroup.py random10k stats \
-  2>"$L/r5b_stats_10k_base.err" | tee "$L/r5b_stats_10k_base.jsonl"
-fi
-P
-if ! grep -q k1_stats $L/r5b_stats_10k_rs.jsonl 2>/dev/null; then
-WRT_ROWSWEEP=1 WRT_K1_TSUB=8 timeout 1800 python benchmarks/profile_regroup.py random10k stats \
-  2>"$L/r5b_stats_10k_rs.err" | tee "$L/r5b_stats_10k_rs.jsonl"
-fi
+# (stats legs moved to chip_session_r5d.sh — they are diagnostics with
+# fresh Mosaic compiles; the flapping tunnel must not starve the r5c
+# final capture behind them.)
 
 P
 echo "=== 18. full summary (decision + diagnostics) ==="

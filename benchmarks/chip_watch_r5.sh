@@ -32,6 +32,12 @@ assert float(jnp.ones((8,128)).sum()) == 1024.0" 2>/dev/null; then
       rc=$?
       echo "r5c exited rc=$rc $(date -u +%FT%TZ)" >> "$W"
       [ $rc -eq 0 ] && touch benchmarks/chip_logs/r5c_done
+    elif [ ! -f benchmarks/chip_logs/r5d_done ]; then
+      echo "firing session r5d $(date -u +%FT%TZ)" >> "$W"
+      bash benchmarks/chip_session_r5d.sh >> benchmarks/chip_logs/session_r5d.log 2>&1
+      rc=$?
+      echo "r5d exited rc=$rc $(date -u +%FT%TZ)" >> "$W"
+      [ $rc -eq 0 ] && touch benchmarks/chip_logs/r5d_done
     else
       echo "watch_r5 done $(date -u +%FT%TZ)" >> "$W"
       exit 0
