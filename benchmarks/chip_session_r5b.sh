@@ -28,10 +28,14 @@ assert float(jnp.ones((8,128)).sum()) == 1024.0" && return 0
 }
 
 echo "=== 0. probe ==="
-timeout 120 python -c "
+for _try in 1 2 3; do
+  timeout 120 python -c "
 import jax, jax.numpy as jnp
 assert float(jnp.ones((8,128)).sum()) == 1024.0
-print('chip ok:', jax.devices()[0])" || { echo "chip down; abort"; exit 1; }
+print('chip ok:', jax.devices()[0])" && break
+  [ "$_try" = 3 ] && { echo "chip down; abort"; exit 1; }
+  sleep 45
+done
 
 echo "=== 1. RTiOW rowsweep k1c16 tsub8 (pinned v1 mechanism leg) ==="
 if ! grep -q mrays $L/r5b_rtiow_c16t8.log 2>/dev/null; then
