@@ -20,18 +20,18 @@ assert float(jnp.ones((8,128)).sum()) == 1024.0" 2>/dev/null; then
       rc=$?
       echo "r5a exited rc=$rc $(date -u +%FT%TZ)" >> "$W"
       [ $rc -eq 0 ] && touch benchmarks/chip_logs/r5a_done
-    elif [ ! -f benchmarks/chip_logs/r5b_done ]; then
-      echo "firing session r5b $(date -u +%FT%TZ)" >> "$W"
-      bash benchmarks/chip_session_r5b.sh >> benchmarks/chip_logs/session_r5b.log 2>&1
-      rc=$?
-      echo "r5b exited rc=$rc $(date -u +%FT%TZ)" >> "$W"
-      [ $rc -eq 0 ] && touch benchmarks/chip_logs/r5b_done
     elif [ ! -f benchmarks/chip_logs/r5c_done ]; then
       echo "firing session r5c $(date -u +%FT%TZ)" >> "$W"
       bash benchmarks/chip_session_r5c.sh >> benchmarks/chip_logs/session_r5c.log 2>&1
       rc=$?
       echo "r5c exited rc=$rc $(date -u +%FT%TZ)" >> "$W"
       [ $rc -eq 0 ] && touch benchmarks/chip_logs/r5c_done
+    elif [ ! -f benchmarks/chip_logs/r5b_done ]; then
+      echo "firing session r5b $(date -u +%FT%TZ)" >> "$W"
+      bash benchmarks/chip_session_r5b.sh >> benchmarks/chip_logs/session_r5b.log 2>&1
+      rc=$?
+      echo "r5b exited rc=$rc $(date -u +%FT%TZ)" >> "$W"
+      [ $rc -eq 0 ] && touch benchmarks/chip_logs/r5b_done
     elif [ ! -f benchmarks/chip_logs/r5d_done ]; then
       echo "firing session r5d $(date -u +%FT%TZ)" >> "$W"
       bash benchmarks/chip_session_r5d.sh >> benchmarks/chip_logs/session_r5d.log 2>&1
